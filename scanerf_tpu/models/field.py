@@ -1,0 +1,329 @@
+"""Per-tile hybrid neural field: hash encoder + ShallowMLP + occupancy.
+
+JAX rebuild of ``hashgrid/__init__.py`` (class ``HashGrid``) with static
+shapes: instead of boolean-compressing valid rays (``rays_o[valid]``),
+every ray is rendered and invalid lanes are masked out — the TPU-friendly
+equivalent (no dynamic shapes, no recompiles).
+
+Key semantics preserved:
+- the tile bbox is DOUBLED to hold a background shell
+  (``hashgrid/__init__.py:50``); the inner half is the foreground,
+- fg contraction maps the inner bbox linearly to [-1, 1]
+  (``contract_fore`` :394-395); bg contraction is the mip360-style
+  L-infinity squash ``x * (2 - 1/|x|_inf) / |x|_inf`` over [-2, 2]
+  (``contract_bg`` :397-411),
+- BARF feature annealing over the 16 levels
+  (``weight_feature`` :228-235): alpha(step) = clip(step/10000*8+8, 0, 16),
+- foreground sampling walks the occupancy grid over the INNER bbox
+  (:278-285); background uses inverse-z beyond the full bbox (:305-337),
+- composition and the specular L2 regularizer match
+  ``render_batch_rays`` :512-596.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scanerf_tpu.models import decoder as decoder_lib
+from scanerf_tpu.ops import integrate, sampling
+from scanerf_tpu.ops.hash_encode import (
+    hash_encode,
+    init_features,
+    make_level_resolutions,
+)
+
+N_LEVELS = 16
+N_FEATURES = 2
+FEAT_DIM = N_LEVELS * N_FEATURES  # 32
+
+
+@flax.struct.dataclass
+class FieldParams:
+    """Trainable per-tile parameters."""
+
+    features: jax.Array  # [L, H, F]
+    decoder: dict  # ShallowMLP params
+
+
+@flax.struct.dataclass
+class FieldState:
+    """Non-trainable per-tile field state."""
+
+    resolutions: jax.Array  # [L, 3] int32 hash lattice resolutions
+    min_bbox: jax.Array  # [3] corner of the DOUBLED bbox
+    bbox_size: jax.Array  # [3] size of the DOUBLED bbox
+    occupied_grid: jax.Array  # [Rx, Ry, Rz] bool over the INNER bbox
+
+
+def compute_sampler_log2dim(bbox_size2: np.ndarray, sampler_log2dim: int) -> np.ndarray:
+    """Anisotropic grid dims (``hashgrid/__init__.py:70``)."""
+    bbox_size2 = np.asarray(bbox_size2, dtype=np.float64)
+    return (
+        sampler_log2dim
+        - np.log2(bbox_size2.max() / bbox_size2).astype(np.int32)
+    )
+
+
+def create_field(
+    key: jax.Array,
+    bbox_corner: np.ndarray,
+    bbox_size: np.ndarray,
+    log2_hashmap_size: int = 24,
+    grid_resolution: tuple[int, int] = (32, 2048),
+    sampler_log2dim: int = 4,
+    occupied_grid: np.ndarray | None = None,
+) -> tuple[FieldParams, FieldState]:
+    """Build a tile field (mirrors ``HashGrid.__init__`` :32-92)."""
+    bbox_corner = np.asarray(bbox_corner, dtype=np.float32)
+    bbox_size = np.asarray(bbox_size, dtype=np.float32)
+    center = bbox_corner + bbox_size / 2.0
+    size2 = bbox_size * 2.0  # background shell
+    min_bbox = center - size2 / 2.0
+
+    finest = (size2 / size2.min() * grid_resolution[1]).astype(np.int32)
+    base = (size2 / size2.min() * grid_resolution[0]).astype(np.int32)
+    resolutions = make_level_resolutions(base, finest, N_LEVELS)
+
+    log2dims = compute_sampler_log2dim(size2, sampler_log2dim)
+    grid_shape = tuple(int(2**d) for d in log2dims)
+    if occupied_grid is None:
+        occupied_grid = np.ones(grid_shape, dtype=bool)
+    else:
+        occupied_grid = np.asarray(occupied_grid, dtype=bool)
+        assert occupied_grid.shape == grid_shape, (occupied_grid.shape, grid_shape)
+
+    kf, kd = jax.random.split(key)
+    params = FieldParams(
+        features=init_features(kf, N_LEVELS, log2_hashmap_size, N_FEATURES),
+        decoder=decoder_lib.init_decoder(kd, FEAT_DIM),
+    )
+    state = FieldState(
+        resolutions=jnp.asarray(resolutions),
+        min_bbox=jnp.asarray(min_bbox),
+        bbox_size=jnp.asarray(size2),
+        occupied_grid=jnp.asarray(occupied_grid),
+    )
+    return params, state
+
+
+# ---------------------------------------------------------------------------
+# geometry helpers
+# ---------------------------------------------------------------------------
+
+def inner_corner(state: FieldState) -> jax.Array:
+    return state.min_bbox + state.bbox_size / 4.0
+
+
+def inner_size(state: FieldState) -> jax.Array:
+    return state.bbox_size / 2.0
+
+
+def contract_fore(state: FieldState, x: jax.Array) -> jax.Array:
+    """(``hashgrid/__init__.py:394-395``) inner bbox -> [-1, 1]."""
+    return (x - state.min_bbox) / state.bbox_size * 4.0 - 2.0
+
+
+def contract_bg(state: FieldState, x: jax.Array) -> jax.Array:
+    """L-infinity mip360 squash over [-2, 2] (:397-411)."""
+    x = (x - state.min_bbox) / state.bbox_size * 4.0 - 2.0
+    linf = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    linf = jnp.maximum(linf, 1e-9)
+    temp = 2.0 - 1.0 / linf  # in [1, 2] for |x|_inf in [1, inf)
+    return x * (temp / linf)
+
+
+def weight_feature(step: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """BARF per-level annealing weights [16] (:228-235)."""
+    alpha = jnp.clip(step / 10000.0 * 8.0 + 8.0, 0.0, 16.0)
+    k = jnp.arange(N_LEVELS, dtype=dtype)
+    return (1.0 - jnp.cos(jnp.clip(alpha - k, 0.0, 1.0) * jnp.pi)) / 2.0
+
+
+# ---------------------------------------------------------------------------
+# rendering
+# ---------------------------------------------------------------------------
+
+def render_batch_rays(
+    params: FieldParams,
+    state: FieldState,
+    rays_o: jax.Array,
+    rays_d: jax.Array,
+    z_vals: jax.Array,
+    dists: jax.Array,
+    valid: jax.Array,
+    step: jax.Array,
+    contract: Callable[[FieldState, jax.Array], jax.Array],
+    infinity: bool,
+    train: bool,
+) -> dict[str, jax.Array]:
+    """Core render (:512-596) with masking instead of boolean compression.
+
+    valid: [N] bool; invalid rays contribute zeros (T_left stays 1).
+    """
+    N, S = z_vals.shape
+    z = jnp.where(valid[:, None], z_vals, 0.0)
+    d = jnp.where(valid[:, None], dists, 0.0)
+
+    samples = rays_o[:, None, :] + z[..., None] * rays_d[:, None, :]
+    x = contract(state, samples.reshape(-1, 3))
+    feats = hash_encode(x, params.features, state.resolutions).reshape(N, S, FEAT_DIM)
+
+    wf = jnp.repeat(weight_feature(step), 2, axis=-1)  # [32]
+    viewdirs = jnp.broadcast_to(rays_d[:, None, :], (N, S, 3))
+    out = decoder_lib.apply_decoder(params.decoder, feats, viewdirs, wf)
+
+    weights, T_left = integrate.integrate_weights(
+        out["sigma"], d, rays_d, infinity=infinity
+    )
+    weights = jnp.where(valid[:, None], weights, 0.0)
+    T_left = jnp.where(valid, T_left, 1.0)
+
+    depth = integrate.accumulate(weights, z[..., None])
+    tint = integrate.accumulate(weights, out["tint"])
+    diffuse = integrate.accumulate(weights, out["diffuse"])
+    specular = integrate.accumulate(weights, out["tint"] * out["specular"])
+    rgb = jnp.clip(diffuse + specular, 0.0, 1.0)
+
+    res = {
+        "rgb": rgb,
+        "depth": depth,
+        "diffuse": diffuse,
+        "specular": specular,
+        "tint": tint,
+        "T_left": T_left,
+        "weights": weights,
+        "valid": valid,
+    }
+    if train:
+        # specular L2 reg, mean over valid rays (:591-594)
+        spec2 = integrate.accumulate(
+            jax.lax.stop_gradient(weights), out["specular"] ** 2
+        )
+        nvalid = jnp.maximum(jnp.sum(valid.astype(spec2.dtype)), 1.0)
+        res["l2_reg_specular"] = jnp.sum(
+            jnp.mean(spec2, axis=-1) * valid
+        ) / nvalid
+    return res
+
+
+def render_fore_rays(
+    params: FieldParams,
+    state: FieldState,
+    rays_o: jax.Array,
+    rays_d: jax.Array,
+    num_sample: int,
+    step: jax.Array,
+    occlusion_mask: jax.Array | None = None,
+    train: bool = True,
+    num_march: int = 512,
+) -> dict[str, jax.Array]:
+    """Foreground pass (:413-457)."""
+    z_vals, dists, valid = sampling.sample_points_grid(
+        rays_o,
+        rays_d,
+        num_sample,
+        state.occupied_grid,
+        inner_corner(state),
+        inner_size(state),
+        num_march=num_march,
+    )
+    if occlusion_mask is not None:
+        valid = valid & occlusion_mask
+    out = render_batch_rays(
+        params, state, rays_o, rays_d, z_vals, dists, valid, step,
+        contract_fore, infinity=False, train=train,
+    )
+    out["fore_valid"] = valid
+    return out
+
+
+def render_bg_rays(
+    params: FieldParams,
+    state: FieldState,
+    rays_o: jax.Array,
+    rays_d: jax.Array,
+    num_sample: int,
+    step: jax.Array,
+    occlusion_mask: jax.Array | None = None,
+    train: bool = True,
+    invalid_underground: bool = False,
+    bg_z: tuple[jax.Array, jax.Array, jax.Array] | None = None,
+) -> dict[str, jax.Array]:
+    """Background pass (:459-509). ``bg_z`` overrides sampling (BS mode)."""
+    if bg_z is None:
+        z_vals, dists, valid = sampling.inverse_z_sampling(
+            rays_o,
+            rays_d,
+            num_sample,
+            state.min_bbox + state.bbox_size / 2.0,
+            state.bbox_size,
+            invalid_underground=invalid_underground,
+        )
+    else:
+        z_vals, dists, valid = bg_z
+    if occlusion_mask is not None:
+        valid = valid & occlusion_mask
+    out = render_batch_rays(
+        params, state, rays_o, rays_d, z_vals, dists, valid, step,
+        contract_bg, infinity=True, train=train,
+    )
+    out["bg_valid"] = valid
+    return out
+
+
+def render_rays(
+    params: FieldParams,
+    state: FieldState,
+    rays_o: jax.Array,
+    rays_d: jax.Array,
+    num_fg_sample: int,
+    num_bg_sample: int,
+    step: jax.Array,
+    occlusion_mask: jax.Array | None = None,
+    train: bool = True,
+    invalid_underground: bool = False,
+    num_march: int = 512,
+) -> dict[str, jax.Array]:
+    """fg + bg composite (``tile.py:639-692``)."""
+    fg = render_fore_rays(
+        params, state, rays_o, rays_d, num_fg_sample, step,
+        occlusion_mask=occlusion_mask, train=train, num_march=num_march,
+    )
+    bg = render_bg_rays(
+        params, state, rays_o, rays_d, num_bg_sample, step,
+        occlusion_mask=occlusion_mask, train=train,
+        invalid_underground=invalid_underground,
+    )
+    T = fg["T_left"][:, None]
+    out = {
+        "pred_color": fg["rgb"] + T * bg["rgb"],
+        "pred_depth": fg["depth"] + T * bg["depth"],
+        "pred_specular": fg["specular"] + T * bg["specular"],
+        "pred_diffuse": fg["diffuse"] + T * bg["diffuse"],
+        "fore_valid": fg["fore_valid"],
+        "bg_valid": bg["bg_valid"],
+        "fore_depth": fg["depth"],
+        "T_left": fg["T_left"],
+        "weights": fg["weights"],
+        "rays_o": rays_o,
+        "rays_d": rays_d,
+    }
+    if train:
+        out["l2_reg_specular"] = fg["l2_reg_specular"] + bg["l2_reg_specular"]
+    return out
+
+
+def field_inference_sigma(
+    params: FieldParams, state: FieldState, samples: jax.Array, step: jax.Array
+) -> jax.Array:
+    """Density query for pruning (:368-372 + annealing as in :196-198)."""
+    x = samples.reshape(-1, 3)
+    feats = hash_encode(x, params.features, state.resolutions)
+    wf = jnp.repeat(weight_feature(step), 2, axis=-1)
+    sig = decoder_lib.inference_sigma(params.decoder, feats * wf)
+    return sig.reshape(*samples.shape[:-1], 1)

@@ -1,0 +1,126 @@
+"""Multiresolution hash encoding (Instant-NGP style) in pure JAX.
+
+Numerical spec mirrors ``hashgrid/src/hashgrid_bg_kernel.cu``:
+
+- input points live in [-2, 2]^3 and are normalized as (p+2)/4
+  (``hashgrid_bg_kernel.cu:127``),
+- per level, the cell lattice is ``res - 1`` (corner-anchored):
+  ``v = u * (res-1)``; the 8 corner indices are hashed with the prime-XOR
+  hash ``x*1 ^ y*2654435761 ^ z*805459861 & (H-1)``
+  (``hashgrid_bg_kernel.cu:14-24``),
+- trilinear interpolation of the 8 corner features
+  (``hashgrid_bg_kernel.cu:26-38``).
+
+Per-axis (anisotropic) integer resolutions per level are supported, as the
+reference derives them from the tile bbox aspect (``hashgrid/__init__.py:
+56-57``, ``PyHashGridBG.py:56-62``).
+
+The forward is a batched gather; the backward (via JAX autodiff) becomes a
+scatter-add into the table — exactly the semantics of the CUDA backward
+kernel's atomicAdd (``hashgrid_bg_kernel.cu:195-222``), including the
+analytic dL/dpoints path. A Pallas TPU kernel with a custom VJP lives in
+``scanerf_tpu.ops.pallas.hash_encode`` and is numerically interchangeable.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PRIMES = (1, 2654435761, 805459861)
+
+# corner order matches linear_weight(): 000 001 010 011 100 101 110 111
+_CORNERS = np.array(
+    [
+        [0, 0, 0],
+        [0, 0, 1],
+        [0, 1, 0],
+        [0, 1, 1],
+        [1, 0, 0],
+        [1, 0, 1],
+        [1, 1, 0],
+        [1, 1, 1],
+    ],
+    dtype=np.int32,
+)
+
+
+def hash_index(loc: jax.Array, hashmap_size: int) -> jax.Array:
+    """Prime-XOR spatial hash of integer coords ``[..., 3]`` -> uint32."""
+    loc = loc.astype(jnp.uint32)
+    h = (
+        loc[..., 0] * jnp.uint32(PRIMES[0])
+        ^ loc[..., 1] * jnp.uint32(PRIMES[1])
+        ^ loc[..., 2] * jnp.uint32(PRIMES[2])
+    )
+    return h & jnp.uint32(hashmap_size - 1)
+
+
+def make_level_resolutions(
+    base_resolution: np.ndarray, finest_resolution: np.ndarray, n_levels: int = 16
+) -> np.ndarray:
+    """Geometric per-level per-axis resolutions (``PyHashGridBG.py:56-62``)."""
+    base = np.asarray(base_resolution, dtype=np.float64).reshape(3)
+    finest = np.asarray(finest_resolution, dtype=np.float64).reshape(3)
+    b = np.exp((np.log(finest) - np.log(base)) / (n_levels - 1))
+    levels = [(base * b**i).astype(np.int32) for i in range(n_levels)]
+    return np.stack(levels, axis=0)  # [L, 3]
+
+
+def hash_encode(
+    points: jax.Array, features: jax.Array, resolutions: jax.Array
+) -> jax.Array:
+    """Encode points through all hash levels.
+
+    Args:
+        points: [N, 3] in [-2, 2].
+        features: [L, H, F] hash tables (H a power of two).
+        resolutions: [L, 3] int32 per-axis lattice resolutions.
+
+    Returns:
+        [N, L*F] interpolated features (level-major: l0f0 l0f1 l1f0 ...).
+    """
+    L, H, F = features.shape
+    u = (points + 2.0) / 4.0  # [N, 3] in [0, 1]
+    res = resolutions.astype(points.dtype)  # [L, 3]
+    v = u[None, :, :] * (res[:, None, :] - 1.0)  # [L, N, 3]
+    bl = jnp.floor(v)
+    off = v - bl  # [L, N, 3]
+    bl = bl.astype(jnp.int32)
+
+    corners = jnp.asarray(_CORNERS)  # [8, 3]
+    idx = bl[:, :, None, :] + corners[None, None, :, :]  # [L, N, 8, 3]
+    h = hash_index(idx, H)  # [L, N, 8] uint32
+
+    # trilinear weights, corner order as linear_weight()
+    ox, oy, oz = off[..., 0:1], off[..., 1:2], off[..., 2:3]  # [L, N, 1]
+    cx = corners[:, 0].astype(points.dtype)  # [8]
+    cy = corners[:, 1].astype(points.dtype)
+    cz = corners[:, 2].astype(points.dtype)
+    w = (
+        (cx * ox + (1 - cx) * (1 - ox))
+        * (cy * oy + (1 - cy) * (1 - oy))
+        * (cz * oz + (1 - cz) * (1 - oz))
+    )  # [L, N, 8]
+
+    # per-level gather
+    gathered = jax.vmap(lambda tbl, ix: tbl[ix])(features, h.astype(jnp.int32))
+    # gathered: [L, N, 8, F]
+    out = jnp.sum(w[..., None] * gathered, axis=2)  # [L, N, F]
+    return jnp.transpose(out, (1, 0, 2)).reshape(points.shape[0], L * F)
+
+
+def init_features(
+    key: jax.Array, n_levels: int, log2_hashmap_size: int, n_features: int = 2
+) -> jax.Array:
+    """Xavier-normal init as the reference default (``PyHashGridBG.py:70-76``).
+
+    torch.nn.init.xavier_normal_ treats the tensor as (fan_out, fan_in) =
+    (L, H*F); std = sqrt(2 / (fan_in + fan_out)).
+    """
+    H = 2**log2_hashmap_size
+    fan_in = H * n_features
+    fan_out = n_levels
+    std = float(np.sqrt(2.0 / (fan_in + fan_out)))
+    return std * jax.random.normal(key, (n_levels, H, n_features), jnp.float32)
