@@ -68,6 +68,45 @@ def make_level_resolutions(
     return np.stack(levels, axis=0)  # [L, 3]
 
 
+def _encode_one_level(
+    points: jax.Array, table: jax.Array, resolution: jax.Array
+) -> jax.Array:
+    """One level: hash + trilinear gather. points [N,3] in [-2,2],
+    table [H,F], resolution [3] -> [N,F]."""
+    H, F = table.shape
+    u = (points + 2.0) / 4.0
+    v = u * (resolution.astype(points.dtype) - 1.0)  # [N, 3]
+    bl = jnp.floor(v)
+    off = v - bl  # [N, 3]
+    bl = bl.astype(jnp.uint32)
+
+    # per-axis hashed terms: hash(bl + c) = hx[cx] ^ hy[cy] ^ hz[cz].
+    # avoids materializing [N, 8, 3] integer corner coords.
+    p = [jnp.uint32(q) for q in PRIMES]
+    hx = jnp.stack([bl[:, 0] * p[0], (bl[:, 0] + 1) * p[0]], axis=-1)  # [N,2]
+    hy = jnp.stack([bl[:, 1] * p[1], (bl[:, 1] + 1) * p[1]], axis=-1)
+    hz = jnp.stack([bl[:, 2] * p[2], (bl[:, 2] + 1) * p[2]], axis=-1)
+
+    corners = jnp.asarray(_CORNERS)  # [8, 3], x-major order
+    cxb, cyb, czb = corners[:, 0], corners[:, 1], corners[:, 2]
+    h = (
+        hx[:, cxb] ^ hy[:, cyb] ^ hz[:, czb]
+    ) & jnp.uint32(H - 1)  # [N, 8]
+
+    ox, oy, oz = off[:, 0:1], off[:, 1:2], off[:, 2:3]  # [N, 1]
+    cx = cxb.astype(points.dtype)
+    cy = cyb.astype(points.dtype)
+    cz = czb.astype(points.dtype)
+    w = (
+        (cx * ox + (1 - cx) * (1 - ox))
+        * (cy * oy + (1 - cy) * (1 - oy))
+        * (cz * oz + (1 - cz) * (1 - oz))
+    )  # [N, 8]
+
+    gathered = table[h.astype(jnp.int32)]  # [N, 8, F]
+    return jnp.sum(w[..., None] * gathered, axis=1)  # [N, F]
+
+
 def hash_encode(
     points: jax.Array, features: jax.Array, resolutions: jax.Array
 ) -> jax.Array:
@@ -80,35 +119,28 @@ def hash_encode(
 
     Returns:
         [N, L*F] interpolated features (level-major: l0f0 l0f1 l1f0 ...).
+
+    Levels are processed under lax.scan so peak memory is one level's
+    [N, 8, F] gather rather than all 16 at once (with 2M points per train
+    step the fully materialized form is tens of GB). The backward pass is
+    one scatter-add per level into its own table slice — the same
+    semantics as the CUDA atomicAdd backward
+    (``hashgrid_bg_kernel.cu:195-222``).
     """
     L, H, F = features.shape
-    u = (points + 2.0) / 4.0  # [N, 3] in [0, 1]
-    res = resolutions.astype(points.dtype)  # [L, 3]
-    v = u[None, :, :] * (res[:, None, :] - 1.0)  # [L, N, 3]
-    bl = jnp.floor(v)
-    off = v - bl  # [L, N, 3]
-    bl = bl.astype(jnp.int32)
+    N = points.shape[0]
 
-    corners = jnp.asarray(_CORNERS)  # [8, 3]
-    idx = bl[:, :, None, :] + corners[None, None, :, :]  # [L, N, 8, 3]
-    h = hash_index(idx, H)  # [L, N, 8] uint32
+    # remat: without it, autodiff saves each level's [N, 8, F] gather and
+    # [N, 8] weights as scan residuals (tens of GB at 2M points/step);
+    # recomputing the gather in the backward is far cheaper than spilling.
+    encode_level = jax.checkpoint(_encode_one_level)
 
-    # trilinear weights, corner order as linear_weight()
-    ox, oy, oz = off[..., 0:1], off[..., 1:2], off[..., 2:3]  # [L, N, 1]
-    cx = corners[:, 0].astype(points.dtype)  # [8]
-    cy = corners[:, 1].astype(points.dtype)
-    cz = corners[:, 2].astype(points.dtype)
-    w = (
-        (cx * ox + (1 - cx) * (1 - ox))
-        * (cy * oy + (1 - cy) * (1 - oy))
-        * (cz * oz + (1 - cz) * (1 - oz))
-    )  # [L, N, 8]
+    def body(carry, xs):
+        table, resolution = xs
+        return carry, encode_level(points, table, resolution)
 
-    # per-level gather
-    gathered = jax.vmap(lambda tbl, ix: tbl[ix])(features, h.astype(jnp.int32))
-    # gathered: [L, N, 8, F]
-    out = jnp.sum(w[..., None] * gathered, axis=2)  # [L, N, F]
-    return jnp.transpose(out, (1, 0, 2)).reshape(points.shape[0], L * F)
+    _, out = jax.lax.scan(body, None, (features, resolutions))  # [L, N, F]
+    return jnp.transpose(out, (1, 0, 2)).reshape(N, L * F)
 
 
 def init_features(

@@ -1,0 +1,138 @@
+"""Tile parallelism: one SPMD program over a ``tiles`` device-mesh axis.
+
+TPU-native replacement for the reference's process-per-GPU orchestration
+(``admm_trainer.py:187-270, 312-337``): every tile's full training state
+(hash table, decoder, pose refinements, Adam moments, ADMM duals) is one
+slice of a stacked pytree with a leading tile axis, sharded over the mesh.
+A sync round = ``SYN_ITERS`` locally-independent train steps followed by
+the ADMM consensus collective — all inside a single jit region.
+
+Multiple tiles per device are supported the same way the reference
+time-slices tiles on one GPU (``admm_trainer.py:238-250``), but without
+``toCPU``/``toGPU`` swap code: the local tile dimension is simply vmapped.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from scanerf_tpu.parallel import consensus as consensus_lib
+from scanerf_tpu.train import tile as tile_lib
+from scanerf_tpu.train.tile import TileData, TrainConfig, TrainState
+
+
+@flax.struct.dataclass
+class ParallelTiles:
+    """Stacked per-tile training state (leading axis = tile)."""
+
+    state: TrainState  # leaves [T, ...]
+    cam_map: jax.Array  # [T, M] global camera ids, -1 padding
+    confidence: jax.Array  # [T, M] per-camera confidence (1.0 default,
+    # mirroring the disabled update_confidence — tile.py:354-360)
+
+
+def stack_tiles(states: list[TrainState], cam_maps: np.ndarray) -> ParallelTiles:
+    """Stack per-tile states into the parallel pytree."""
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+    cam_map = jnp.asarray(cam_maps, jnp.int32)
+    conf = jnp.ones(cam_map.shape, jnp.float32)
+    return ParallelTiles(state=stacked, cam_map=cam_map, confidence=conf)
+
+
+def make_tile_mesh(devices=None) -> Mesh:
+    devices = np.array(devices if devices is not None else jax.devices())
+    return Mesh(devices, ("tiles",))
+
+
+def shard_parallel(mesh: Mesh, tiles: ParallelTiles, data: TileData):
+    """Place the stacked pytrees on the mesh, tile-sharded."""
+    sharding = NamedSharding(mesh, P("tiles"))
+    put = lambda t: jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), t
+    )
+    return put(tiles), put(data)
+
+
+def build_admm_round(
+    mesh: Mesh,
+    tc: TrainConfig,
+    tx,
+    n_inner: int,
+    n_global_cams: int,
+):
+    """Build the jitted sync-round function.
+
+    round_fn(tiles: ParallelTiles, data: TileData[stacked], key) ->
+        (tiles', (train_aux, consensus_aux))
+    """
+
+    def one_tile_steps(state: TrainState, data: TileData, key: jax.Array):
+        def body(i, carry):
+            state, _ = carry
+            k = jax.random.fold_in(key, i)
+            new_state, aux = tile_lib.train_step.__wrapped__(
+                state, data, k, tc, tx
+            )
+            return new_state, aux["total_loss"]
+
+        init_loss = jax.lax.pcast(jnp.asarray(0.0), ("tiles",), to="varying")
+        state, last_loss = jax.lax.fori_loop(
+            0, n_inner, body, (state, init_loss)
+        )
+        return state, last_loss
+
+    def shard_fn(tiles: ParallelTiles, data: TileData, key: jax.Array):
+        # local shapes: [T_local, ...]
+        T_local = tiles.cam_map.shape[0]
+        tile_ids = jax.lax.axis_index("tiles") * T_local + jnp.arange(T_local)
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(tile_ids)
+
+        new_state, losses = jax.vmap(one_tile_steps)(tiles.state, data, keys)
+
+        # --- consensus collective (flatten local tiles into the scatter) ---
+        admm = new_state.admm
+        se3 = new_state.params.se3_refine  # [T_l, M, 6]
+        z, delta, overlap, aux = consensus_lib.consensus_update(
+            se3,
+            tiles.confidence,
+            tiles.cam_map,
+            admm.shared_se3,
+            admm.delta_se3,
+            admm.rho[0],
+            n_global_cams,
+            axis_name="tiles",
+        )
+        new_admm = admm.replace(
+            shared_se3=z, delta_se3=delta, overlap_flags=overlap
+        )
+        new_state = new_state.replace(admm=new_admm)
+        new_tiles = tiles.replace(state=new_state)
+        return new_tiles, losses, aux
+
+    sharded = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P("tiles"), P("tiles"), P()),
+        out_specs=(P("tiles"), P("tiles"), P()),
+    )
+    return jax.jit(sharded)
+
+
+def make_cam_maps(
+    tile_view_lists: list[list[int]], max_poses: int
+) -> np.ndarray:
+    """Pack per-tile global camera id lists into a [T, MAX_POSES] int32
+    array with -1 padding (the MAX_POSES cap mirrors ``cfg.MAX_POSES``)."""
+    T = len(tile_view_lists)
+    out = np.full((T, max_poses), -1, np.int32)
+    for t, views in enumerate(tile_view_lists):
+        v = np.asarray(views[:max_poses], np.int32)
+        out[t, : len(v)] = v
+    return out

@@ -139,7 +139,7 @@ def view_cost(
     R, t = rts[..., :3], rts[..., 3]
     centers = -jnp.einsum("nij,ni->nj", R, t)  # [N, 3]
 
-    x_cam = lie.world2cam(pts[None, :, :], rts[:, None, :, :])  # [N, B, 3]
+    x_cam = jnp.einsum("nij,bj->nbi", R, pts) + t[:, None, :]  # [N, B, 3]
     uvz = jnp.einsum("nij,nbj->nbi", ks, x_cam)
     z = uvz[..., 2]
     x = uvz[..., 0] / jnp.where(z == 0, 1.0, z)
