@@ -1,0 +1,127 @@
+"""Occupancy-grid pruning with progressive subdivision.
+
+Rebuild of ``HashGrid.pruning_grid`` / ``pruning_tile_grid``
+(``hashgrid/__init__.py:138-225``): every ADJUST_STEP steps the occupancy
+grid is re-derived from the live density field — each currently-occupied
+cell (optionally subdivided 2x per axis) is sampled on an internal lattice
+and kept when its max alpha = 1 - exp(-sigma) exceeds the threshold.
+
+Runs host-orchestrated between jitted train segments (it changes the grid
+resolution, which is a static shape — a recompile every 2000 steps, as
+scheduled by ``TRAINING.GRID_LOG2DIM``/``ADJUST_STEP``). Density queries
+are chunked through a fixed-shape jitted evaluator.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scanerf_tpu.models import field as field_lib
+from scanerf_tpu.models.field import FieldParams, FieldState
+
+
+@partial(jax.jit, static_argnames=())
+def _max_alpha_chunk(
+    params: FieldParams,
+    state: FieldState,
+    pts: jax.Array,  # [C, S, 3] in [-2, 2] (contract space)
+    step: jax.Array,
+) -> jax.Array:
+    sigma = field_lib.field_inference_sigma(params, state, pts, step)[..., 0]
+    alpha = 1.0 - jnp.exp(-1.0 * sigma)
+    return jnp.max(alpha, axis=-1)  # [C]
+
+
+def prune_occupancy(
+    params: FieldParams,
+    state: FieldState,
+    step: int,
+    finest_resolution: np.ndarray,
+    sub_split: bool,
+    pruning_th: float,
+    chunk_cells: int = 4096,
+) -> FieldState:
+    """Return a new FieldState with the re-derived occupancy grid.
+
+    Mirrors pruning_tile_grid semantics (:139-214): target log2dim is the
+    current one (+1 if sub_split); internal sample lattice per cell is
+    ((finest/4 if step<10000 else finest/2) / 2) / grid_resolution.
+    """
+    grid = np.asarray(state.occupied_grid)
+    if sub_split:
+        grid = (
+            grid.repeat(2, axis=0).repeat(2, axis=1).repeat(2, axis=2)
+        )
+    res = np.array(grid.shape, np.int64)
+
+    total_res = finest_resolution / (4.0 if step < 10000 else 2.0)
+    sample_res = np.maximum((total_res / 2.0 / res).astype(np.int64), 1)
+
+    locs = np.stack(np.nonzero(grid), axis=-1)  # [C, 3]
+    if len(locs) == 0:
+        new_grid = np.zeros(tuple(res), bool)
+        return state.replace(occupied_grid=jnp.asarray(new_grid))
+
+    # internal lattice per cell, in units of the HALF (foreground) domain
+    sx, sy, sz = (int(s) for s in sample_res)
+    gx, gy, gz = np.meshgrid(
+        np.arange(sx), np.arange(sy), np.arange(sz), indexing="ij"
+    )
+    lattice = np.stack([gx, gy, gz], -1).reshape(-1, 3).astype(np.float32)
+    lattice = lattice / (sample_res.astype(np.float32) * res.astype(np.float32))
+
+    # cell corner as a fraction of the inner bbox
+    corners = locs.astype(np.float32) / res.astype(np.float32)  # [C, 3]
+
+    keep = np.zeros(len(locs), bool)
+    S = lattice.shape[0]
+    pad_to = chunk_cells
+    step_arr = jnp.asarray(float(step))
+    for i in range(0, len(locs), chunk_cells):
+        c = corners[i : i + chunk_cells]
+        n = c.shape[0]
+        if n < pad_to:
+            c = np.pad(c, ((0, pad_to - n), (0, 0)))
+        # fractions of the inner bbox -> contract space [-1, 1] is
+        # frac*2-1 (contract_fore maps inner bbox to [-1,1])
+        pts = (c[:, None, :] + lattice[None, :, :]) * 2.0 - 1.0
+        alpha = np.asarray(
+            _max_alpha_chunk(params, state, jnp.asarray(pts), step_arr)
+        )
+        keep[i : i + chunk_cells] = alpha[:n] > pruning_th
+
+    new_grid = np.zeros(tuple(res), bool)
+    kept = locs[keep]
+    new_grid[kept[:, 0], kept[:, 1], kept[:, 2]] = True
+    return state.replace(occupied_grid=jnp.asarray(new_grid))
+
+
+class PruningSchedule:
+    """Tracks the GRID_LOG2DIM / PRUNING_TH ladder (tile.py:866-877):
+    at every ADJUST_STEP, step to the next log2dim (sub-split when it
+    increases) with the matching threshold (last threshold reused)."""
+
+    def __init__(self, grid_log2dims: list[int], pruning_ths: list[float], adjust_step: int):
+        self.log2dims = list(grid_log2dims)
+        self.ths = list(pruning_ths)
+        self.adjust_step = adjust_step
+        self.stage = 0  # index of the CURRENT log2dim
+
+    def should_prune(self, step: int) -> bool:
+        if step == 0 or step % self.adjust_step != 0:
+            return False
+        return self.stage + 1 < len(self.log2dims) or True  # keep refreshing
+
+    def next(self) -> tuple[bool, float]:
+        """(sub_split, threshold) for this pruning event; advances stage."""
+        if self.stage + 1 < len(self.log2dims):
+            sub_split = self.log2dims[self.stage + 1] > self.log2dims[self.stage]
+            self.stage += 1
+        else:
+            sub_split = False
+        th = self.ths[min(self.stage - 1, len(self.ths) - 1)] if self.stage > 0 else self.ths[0]
+        return sub_split, th

@@ -1,0 +1,78 @@
+"""Occupancy pruning tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scanerf_tpu.models import field as field_lib
+from scanerf_tpu.models import occupancy
+
+
+def test_prune_keeps_dense_region():
+    params, state = field_lib.create_field(
+        jax.random.PRNGKey(0),
+        bbox_corner=np.array([-1.0, -1.0, -1.0]),
+        bbox_size=np.array([2.0, 2.0, 2.0]),
+        log2_hashmap_size=10,
+        grid_resolution=(8, 64),
+        sampler_log2dim=3,
+    )
+    # bias the sigma head so density is high everywhere
+    dec = dict(params.decoder)
+    dec["sigma"] = {
+        "w": params.decoder["sigma"]["w"],
+        "b": params.decoder["sigma"]["b"] + 10.0,
+    }
+    params_hi = params.replace(decoder=dec)
+    new_state = occupancy.prune_occupancy(
+        params_hi, state, step=0, finest_resolution=np.array([64, 64, 64]),
+        sub_split=False, pruning_th=0.4,
+    )
+    assert np.asarray(new_state.occupied_grid).all()
+
+    # and low density everywhere -> all pruned
+    dec["sigma"] = {
+        "w": params.decoder["sigma"]["w"] * 0.0,
+        "b": params.decoder["sigma"]["b"] * 0.0 - 10.0,
+    }
+    params_lo = params.replace(decoder=dec)
+    new_state2 = occupancy.prune_occupancy(
+        params_lo, state, step=0, finest_resolution=np.array([64, 64, 64]),
+        sub_split=False, pruning_th=0.4,
+    )
+    assert not np.asarray(new_state2.occupied_grid).any()
+
+
+def test_prune_subsplit_doubles_resolution():
+    params, state = field_lib.create_field(
+        jax.random.PRNGKey(1),
+        bbox_corner=np.array([-1.0, -1.0, -1.0]),
+        bbox_size=np.array([2.0, 2.0, 2.0]),
+        log2_hashmap_size=10,
+        grid_resolution=(8, 64),
+        sampler_log2dim=3,
+    )
+    dec = dict(params.decoder)
+    dec["sigma"] = {"w": params.decoder["sigma"]["w"], "b": params.decoder["sigma"]["b"] + 10.0}
+    params = params.replace(decoder=dec)
+    old_shape = np.asarray(state.occupied_grid).shape
+    new_state = occupancy.prune_occupancy(
+        params, state, step=12000, finest_resolution=np.array([64, 64, 64]),
+        sub_split=True, pruning_th=0.1,
+    )
+    assert np.asarray(new_state.occupied_grid).shape == tuple(2 * s for s in old_shape)
+
+
+def test_pruning_schedule():
+    s = occupancy.PruningSchedule([4, 5, 6, 7], [0.1, 0.2, 0.3], adjust_step=100)
+    assert not s.should_prune(0)
+    assert not s.should_prune(50)
+    assert s.should_prune(100)
+    sub, th = s.next()
+    assert sub and th == 0.1
+    sub, th = s.next()
+    assert sub and th == 0.2
+    sub, th = s.next()
+    assert sub and th == 0.3
+    sub, th = s.next()  # past the ladder: refresh without split
+    assert not sub and th == 0.3
