@@ -77,8 +77,13 @@ def create_field(
     grid_resolution: tuple[int, int] = (32, 2048),
     sampler_log2dim: int = 4,
     occupied_grid: np.ndarray | None = None,
+    cubic_grid: bool = False,
 ) -> tuple[FieldParams, FieldState]:
-    """Build a tile field (mirrors ``HashGrid.__init__`` :32-92)."""
+    """Build a tile field (mirrors ``HashGrid.__init__`` :32-92).
+
+    ``cubic_grid=True`` forces the same occupancy log2dim on every axis so
+    tiles of different aspect stack into one pytree for the tile-parallel
+    mesh (the reference uses anisotropic dims, :70 — quality-neutral)."""
     bbox_corner = np.asarray(bbox_corner, dtype=np.float32)
     bbox_size = np.asarray(bbox_size, dtype=np.float32)
     center = bbox_corner + bbox_size / 2.0
@@ -89,7 +94,10 @@ def create_field(
     base = (size2 / size2.min() * grid_resolution[0]).astype(np.int32)
     resolutions = make_level_resolutions(base, finest, N_LEVELS)
 
-    log2dims = compute_sampler_log2dim(size2, sampler_log2dim)
+    if cubic_grid:
+        log2dims = np.array([sampler_log2dim] * 3)
+    else:
+        log2dims = compute_sampler_log2dim(size2, sampler_log2dim)
     grid_shape = tuple(int(2**d) for d in log2dims)
     if occupied_grid is None:
         occupied_grid = np.ones(grid_shape, dtype=bool)

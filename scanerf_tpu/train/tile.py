@@ -83,6 +83,7 @@ class TrainConfig:
             num_bg_sample=T.NUM_BG_SAMPLE,
             batch_log2=T.BS_LOG2DIM,
             total_step=T.TOTAL_STEP,
+            num_march=T.get("NUM_MARCH", 512),
             w_rgb=L.WEIGHT_RGB_LOSS,
             w_warp=L.WEIGHT_WARP_LOSS,
             w_depth=L.WEIGHT_DEPTH_LOSS,

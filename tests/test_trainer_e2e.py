@@ -1,0 +1,97 @@
+"""End-to-end pipeline test: scene dir -> Trainer -> export -> renderer."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from scanerf_tpu.config import ConfigDict, default_config
+from scanerf_tpu.data.synthetic import write_scene_dir
+
+
+def tiny_cfg(datadir, n_tiles=2, total=6, rho=10.0):
+    cfg = default_config()
+    cfg.DATADIR = datadir
+    cfg.RHO = rho
+    cfg.SYN_ITERS = 3
+    cfg.TILES = list(range(n_tiles))
+    cfg.EVAL_STEP = 1000000  # skip eval renders in the fast test
+    cfg.HASHGRID.LOG2_HASHMAP_SIZE = 10
+    cfg.TRAINING.update(
+        {
+            "GRID_LOG2DIM": [3, 4],
+            "PRUNING_TH": [0.1],
+            "ADJUST_STEP": 1000000,
+            "BS_LOG2DIM": 8,
+            "NUM_SAMPLE": 16,
+            "NUM_BG_SAMPLE": 8,
+            "TOTAL_STEP": total,
+            "NUM_MARCH": 64,
+        }
+    )
+    cfg.TRAINING.LOSS.WEIGHT_DEPTH_LOSS = 0.0
+    cfg.TRAINING.LOSS.WEIGHT_WARP_LOSS = 0.0
+    return cfg
+
+
+@pytest.mark.slow
+def test_full_pipeline(tmp_path):
+    datadir = str(tmp_path / "scene")
+    write_scene_dir(datadir, n_cameras=4, H=24, W=24, n_tiles=2)
+    cfg = tiny_cfg(datadir)
+
+    from scanerf_tpu.train.trainer import Trainer
+
+    trainer = Trainer(cfg)
+    tiles = trainer.run()
+    assert int(tiles.state.step[0]) == cfg.TRAINING.TOTAL_STEP
+
+    # artifacts
+    logdir = trainer.logdir
+    assert os.path.exists(os.path.join(logdir, "refined_camera.log"))
+    assert os.path.exists(os.path.join(logdir, "training.log"))
+    assert os.path.exists(os.path.join(logdir, "admm_error.txt"))
+    tile_dirs = sorted(glob.glob(os.path.join(logdir, "tile-*")))
+    assert len(tile_dirs) == 2
+    for d in tile_dirs:
+        assert os.path.exists(os.path.join(d, "feature.npz"))
+
+    # standalone renderer consumes the export
+    import jax.numpy as jnp
+
+    from scanerf_tpu.render import renderer
+
+    scene = renderer.load_scene(tile_dirs)
+    out = renderer.render_image(
+        scene, trainer.ks_all[0], trainer.c2ws_all[0], 24, 24,
+        num_sample=16, num_bg_sample=8, num_march=64, chunk=24 * 24,
+    )
+    assert out["rgb"].shape == (24, 24, 3)
+    assert np.isfinite(out["rgb"]).all()
+
+
+def test_build_tiles(tmp_path):
+    datadir = str(tmp_path / "scene")
+    write_scene_dir(datadir, n_cameras=6, H=24, W=24, n_tiles=1)
+    cfg = tiny_cfg(datadir)
+    cfg.ALLOCATION.update(
+        {
+            "TILE_SIZE": [2.0, 2.0, 2.0],
+            "OVERLAP_RATIO": 0.2,
+            "OFFSET": [0.0, 0.0, 0.0],
+            "EXPECT_NUM": 2,
+            "MIN_NUM_IMAGE": 2,
+            "MAX_DIM_TILE": [4, 1, 4],
+            "SCENE_TYPE": "indoor",
+        }
+    )
+    from scanerf_tpu.preprocess.build_tiles import build_tiles
+
+    out = build_tiles(cfg)
+    assert len(out["tiles"]) >= 1
+    assert os.path.exists(os.path.join(datadir, "tiles", "tile_info.txt"))
+    assert os.path.exists(os.path.join(datadir, "tiles", "training_views.txt"))
+    assert os.path.exists(os.path.join(datadir, "tiles", "tiles.obj"))
+    for t, views in out["views"].items():
+        assert len(views) >= 2
