@@ -33,6 +33,7 @@ from scanerf_tpu.models import decoder as decoder_lib
 from scanerf_tpu.ops import integrate, sampling
 from scanerf_tpu.ops.hash_encode import (
     hash_encode,
+    hash_encode_stoch,
     init_features,
     make_level_resolutions,
 )
@@ -168,6 +169,7 @@ def render_batch_rays(
     contract: Callable[[FieldState, jax.Array], jax.Array],
     infinity: bool,
     train: bool,
+    stochastic_grad: bool = False,
 ) -> dict[str, jax.Array]:
     """Core render (:512-596) with masking instead of boolean compression.
 
@@ -179,7 +181,8 @@ def render_batch_rays(
 
     samples = rays_o[:, None, :] + z[..., None] * rays_d[:, None, :]
     x = contract(state, samples.reshape(-1, 3))
-    feats = hash_encode(x, params.features, state.resolutions).reshape(N, S, FEAT_DIM)
+    encode = hash_encode_stoch if stochastic_grad else hash_encode
+    feats = encode(x, params.features, state.resolutions).reshape(N, S, FEAT_DIM)
 
     wf = jnp.repeat(weight_feature(step), 2, axis=-1)  # [32]
     viewdirs = jnp.broadcast_to(rays_d[:, None, :], (N, S, 3))
@@ -229,6 +232,7 @@ def render_fore_rays(
     occlusion_mask: jax.Array | None = None,
     train: bool = True,
     num_march: int = 512,
+    stochastic_grad: bool = False,
 ) -> dict[str, jax.Array]:
     """Foreground pass (:413-457)."""
     z_vals, dists, valid = sampling.sample_points_grid(
@@ -245,6 +249,7 @@ def render_fore_rays(
     out = render_batch_rays(
         params, state, rays_o, rays_d, z_vals, dists, valid, step,
         contract_fore, infinity=False, train=train,
+        stochastic_grad=stochastic_grad,
     )
     out["fore_valid"] = valid
     return out
@@ -261,6 +266,7 @@ def render_bg_rays(
     train: bool = True,
     invalid_underground: bool = False,
     bg_z: tuple[jax.Array, jax.Array, jax.Array] | None = None,
+    stochastic_grad: bool = False,
 ) -> dict[str, jax.Array]:
     """Background pass (:459-509). ``bg_z`` overrides sampling (BS mode)."""
     if bg_z is None:
@@ -279,6 +285,7 @@ def render_bg_rays(
     out = render_batch_rays(
         params, state, rays_o, rays_d, z_vals, dists, valid, step,
         contract_bg, infinity=True, train=train,
+        stochastic_grad=stochastic_grad,
     )
     out["bg_valid"] = valid
     return out
@@ -296,16 +303,19 @@ def render_rays(
     train: bool = True,
     invalid_underground: bool = False,
     num_march: int = 512,
+    stochastic_grad: bool = False,
 ) -> dict[str, jax.Array]:
     """fg + bg composite (``tile.py:639-692``)."""
     fg = render_fore_rays(
         params, state, rays_o, rays_d, num_fg_sample, step,
         occlusion_mask=occlusion_mask, train=train, num_march=num_march,
+        stochastic_grad=stochastic_grad,
     )
     bg = render_bg_rays(
         params, state, rays_o, rays_d, num_bg_sample, step,
         occlusion_mask=occlusion_mask, train=train,
         invalid_underground=invalid_underground,
+        stochastic_grad=stochastic_grad,
     )
     T = fg["T_left"][:, None]
     out = {

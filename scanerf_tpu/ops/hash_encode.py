@@ -143,6 +143,110 @@ def hash_encode(
     return jnp.transpose(out, (1, 0, 2)).reshape(N, L * F)
 
 
+# ---------------------------------------------------------------------------
+# stochastic-corner backward (TPU scatter-count reduction)
+# ---------------------------------------------------------------------------
+# XLA's scatter-add on TPU processes ~12M rows/s (PERF.md); the exact
+# backward scatters N*L*8 rows per step. This variant keeps the forward
+# exactly trilinear but, in the backward, routes each (point, level)'s
+# table gradient through ONE corner c sampled with probability w_c
+# (the trilinear weight), scaled by 1/1 — i.e. the update is
+# dL * 1[c] with E[1[c]] = w_c, an unbiased estimator of the exact
+# per-corner updates dL * w_c — cutting scatter rows 8x. The corner is
+# chosen by a deterministic hash of the point bits (new points every
+# step => fresh randomization). dL/dpoints keeps the exact analytic
+# form (cheap: recomputed from the forward's gathered values).
+
+def _corner_sample_u(points: jax.Array) -> jax.Array:
+    """Deterministic pseudo-random uniform in [0,1) per point from the
+    float bit pattern (varies per step since ray batches vary)."""
+    bits = jax.lax.bitcast_convert_type(points, jnp.uint32)  # [N, 3]
+    h = (
+        bits[:, 0] * jnp.uint32(0x9E3779B1)
+        ^ bits[:, 1] * jnp.uint32(0x85EBCA77)
+        ^ bits[:, 2] * jnp.uint32(0xC2B2AE3D)
+    )
+    h = h ^ (h >> 15)
+    return h.astype(jnp.float32) / jnp.float32(4294967296.0)
+
+
+@jax.custom_vjp
+def hash_encode_stoch(points, features, resolutions):
+    return hash_encode(points, features, resolutions)
+
+
+def _hes_fwd(points, features, resolutions):
+    return hash_encode(points, features, resolutions), (points, features, resolutions)
+
+
+def _hes_bwd(res, g):
+    points, features, resolutions = res
+    L, H, F = features.shape
+    N = points.shape[0]
+    g = g.reshape(N, L, F)
+    u_sample = _corner_sample_u(points)  # [N]
+
+    def level_bwd(carry, xs):
+        table, resolution, g_l = xs  # g_l [N, F]
+        u = (points + 2.0) / 4.0
+        v = u * (resolution.astype(points.dtype) - 1.0)
+        bl = jnp.floor(v)
+        off = v - bl
+        blu = bl.astype(jnp.uint32)
+        p = [jnp.uint32(q) for q in PRIMES]
+        hx = jnp.stack([blu[:, 0] * p[0], (blu[:, 0] + 1) * p[0]], -1)
+        hy = jnp.stack([blu[:, 1] * p[1], (blu[:, 1] + 1) * p[1]], -1)
+        hz = jnp.stack([blu[:, 2] * p[2], (blu[:, 2] + 1) * p[2]], -1)
+        corners = jnp.asarray(_CORNERS)
+        cxb, cyb, czb = corners[:, 0], corners[:, 1], corners[:, 2]
+        h = (hx[:, cxb] ^ hy[:, cyb] ^ hz[:, czb]) & jnp.uint32(H - 1)  # [N, 8]
+        ox, oy, oz = off[:, 0:1], off[:, 1:2], off[:, 2:3]
+        cx = cxb.astype(points.dtype)
+        cy = cyb.astype(points.dtype)
+        cz = czb.astype(points.dtype)
+        w = (
+            (cx * ox + (1 - cx) * (1 - ox))
+            * (cy * oy + (1 - cy) * (1 - oy))
+            * (cz * oz + (1 - cz) * (1 - oz))
+        )  # [N, 8]
+
+        # --- dTable: one sampled corner per point ---
+        cdf = jnp.cumsum(w, axis=1)
+        corner_id = jnp.sum(
+            (cdf < u_sample[:, None] * cdf[:, -1:]).astype(jnp.int32), axis=1
+        )
+        corner_id = jnp.clip(corner_id, 0, 7)
+        h_sel = jnp.take_along_axis(h, corner_id[:, None], axis=1)[:, 0]
+        d_table = jnp.zeros((H, F), g_l.dtype).at[h_sel.astype(jnp.int32)].add(g_l)
+
+        # --- dPoints: exact analytic (recomputes the corner gather) ---
+        gathered = table[h.astype(jnp.int32)]  # [N, 8, F]
+        gv = jnp.einsum("nkf,nf->nk", gathered, g_l)  # [N, 8]
+        # w factorizes per axis: w = wx*wy*wz; dw/d(offset_axis) = sign*rest
+        wxc = cx * ox + (1 - cx) * (1 - ox)  # [N, 8]
+        wyc = cy * oy + (1 - cy) * (1 - oy)
+        wzc = cz * oz + (1 - cz) * (1 - oz)
+        sx = 2.0 * cx - 1.0  # [8]
+        sy = 2.0 * cy - 1.0
+        sz = 2.0 * cz - 1.0
+        dscale = (resolution.astype(points.dtype) - 1.0) / 4.0  # d offset / d point
+        dpx = jnp.sum(gv * sx[None, :] * wyc * wzc, axis=1) * dscale[0]
+        dpy = jnp.sum(gv * wxc * sy[None, :] * wzc, axis=1) * dscale[1]
+        dpz = jnp.sum(gv * wxc * wyc * sz[None, :], axis=1) * dscale[2]
+        d_points = jnp.stack([dpx, dpy, dpz], axis=-1)
+        return carry + d_points, d_table
+
+    d_points, d_tables = jax.lax.scan(
+        level_bwd,
+        jnp.zeros_like(points),
+        (features, resolutions, jnp.transpose(g, (1, 0, 2))),
+    )
+    return d_points, d_tables, None
+
+
+hash_encode_stoch.defvjp(_hes_fwd, _hes_bwd)
+
+
 def init_features(
     key: jax.Array, n_levels: int, log2_hashmap_size: int, n_features: int = 2
 ) -> jax.Array:

@@ -73,6 +73,10 @@ class TrainConfig:
     cam_enable: bool = True
     cam_start_steps: int = 0
     l2_specular_weight: float = 0.01  # hard-coded in the step (tile.py:999)
+    # TPU perf knob: unbiased stochastic-corner table gradients cut the
+    # backward scatter rows 8x (ops/hash_encode.py; PERF.md). Forward is
+    # exactly trilinear either way.
+    stochastic_hash_grad: bool = True
 
     @classmethod
     def from_cfg(cls, cfg) -> "TrainConfig":
@@ -255,6 +259,7 @@ def compute_losses(
         occlusion_mask=occl, train=True,
         invalid_underground=tc.invalid_underground,
         num_march=tc.num_march,
+        stochastic_grad=tc.stochastic_hash_grad,
     )
     valid = out["fore_valid"] | out["bg_valid"]
 

@@ -1,0 +1,51 @@
+"""Stochastic-corner backward: unbiasedness and exact-dPoints tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scanerf_tpu.ops import hash_encode as he
+
+
+def setup(L=2, H=2**10, N=64, seed=0):
+    key = jax.random.PRNGKey(seed)
+    feats = 0.1 * jax.random.normal(key, (L, H, 2))
+    res = jnp.asarray(
+        np.stack([np.array([16, 16, 16]) * 2**i for i in range(L)]).astype(np.int32)
+    )
+    pts = jax.random.uniform(jax.random.PRNGKey(seed + 1), (N, 3), minval=-1.9, maxval=1.9)
+    return pts, feats, res
+
+
+def test_forward_matches_exact():
+    pts, feats, res = setup()
+    a = he.hash_encode(pts, feats, res)
+    b = he.hash_encode_stoch(pts, feats, res)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_dpoints_matches_exact():
+    pts, feats, res = setup()
+    g_exact = jax.grad(lambda p: jnp.sum(jnp.sin(he.hash_encode(p, feats, res))))(pts)
+    g_stoch = jax.grad(lambda p: jnp.sum(jnp.sin(he.hash_encode_stoch(p, feats, res))))(pts)
+    np.testing.assert_allclose(np.asarray(g_stoch), np.asarray(g_exact), rtol=1e-3, atol=1e-5)
+
+
+def test_dtable_unbiased():
+    """Averaged over many points per cell, the stochastic table gradient
+    must approximate the exact one (law of large numbers)."""
+    L, H = 1, 2**8
+    feats = 0.1 * jax.random.normal(jax.random.PRNGKey(0), (L, H, 2))
+    res = jnp.asarray(np.array([[4, 4, 4]], np.int32))
+    # many random points -> dense coverage of the 4^3 lattice
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (200000, 3), minval=-1.99, maxval=1.99)
+
+    g_exact = jax.grad(lambda f: jnp.sum(he.hash_encode(pts, f, res)))(feats)
+    g_stoch = jax.grad(lambda f: jnp.sum(he.hash_encode_stoch(pts, f, res)))(feats)
+    ge = np.asarray(g_exact).ravel()
+    gs = np.asarray(g_stoch).ravel()
+    big = np.abs(ge) > np.abs(ge).max() * 0.05
+    rel = np.abs(gs[big] - ge[big]) / np.abs(ge[big])
+    assert np.median(rel) < 0.15, float(np.median(rel))
+    # totals match closely
+    np.testing.assert_allclose(gs.sum(), ge.sum(), rtol=0.02)
