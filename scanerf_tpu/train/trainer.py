@@ -17,9 +17,14 @@ Host-side duties per round boundary (matching ``tile.py``):
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import time
 from datetime import datetime
+
+
+def dataclass_replace(dc, **kw):
+    return dataclasses.replace(dc, **kw)
 
 import jax
 import jax.numpy as jnp
@@ -268,6 +273,10 @@ class Trainer:
             if self.pruning.should_prune(step):
                 tiles, round_fn = self._prune(tiles, mesh, syn, step)
 
+            update_mask_step = int(cfg.get("UPDATE_MASK_STEP", 10000))
+            if step % update_mask_step < syn and step >= update_mask_step:
+                data = self._refresh_occlusion_masks(tiles, data)
+
             if step % eval_step < syn and step > 0:
                 self._eval(tiles, step)
 
@@ -297,6 +306,95 @@ class Trainer:
         )
         print(f"step {step}: pruned occupancy (sub_split={sub_split}, th={th})")
         return tiles, round_fn
+
+    def _refresh_occlusion_masks(self, tiles, data):
+        """Cross-tile occlusion-mask refresh (tile.py:366-475).
+
+        Each tile renders half-res depth from its LIVE field for its
+        overlap cameras whose center lies inside the tile and publishes it
+        per global camera id (``render_shared_depth``); every other tile
+        then re-derives the occlusion mask of such cameras — a pixel stays
+        trainable only when the published depth lies beyond this tile's
+        entry — eroded with the reference's 91-wide box kernel
+        (``update_occlusion_mask``). Host-orchestrated between sync
+        rounds; the published maps are tiny (half resolution).
+        """
+        import cv2
+
+        H, W = self.H, self.W
+        states = _unstack(tiles.state, len(self.tile_idxs))
+        shared_depth: dict[int, np.ndarray] = {}
+
+        # phase 1: publish half-res depths
+        for i, tile_idx in enumerate(self.tile_idxs):
+            s = states[i]
+            info = self.infos[i]
+            center = info.corner + info.size / 2.0
+            half = info.size / 2.0
+            cams = self.datas[i].cameras
+            rts = np.asarray(cam_lib.get_rts(cams, s.params.se3_refine))
+            for li, gv in enumerate(self.view_lists[i]):
+                eye = -rts[li][:, :3].T @ rts[li][:, 3]
+                if not np.all(np.abs(eye - center) < half):
+                    continue
+                out = tile_lib.render_image(
+                    s, cams, li, H // 2, W // 2,
+                    dataclass_replace(self.tc, num_march=min(self.tc.num_march, 256)),
+                    chunk=2**13,
+                )
+                shared_depth[gv] = out["depth"][..., 0]
+
+        if not shared_depth:
+            return data
+
+        # phase 2: update masks on tiles NOT containing those cameras
+        kernel = np.ones((91, 91), np.uint8)
+        new_datas = []
+        changed = False
+        for i, tile_idx in enumerate(self.tile_idxs):
+            d = self.datas[i]
+            info = self.infos[i]
+            center = info.corner + info.size / 2.0
+            half = info.size / 2.0
+            occl = np.asarray(d.occlusions).copy()
+            s = states[i]
+            cams = d.cameras
+            rts = np.asarray(cam_lib.get_rts(cams, s.params.se3_refine))
+            for li, gv in enumerate(self.view_lists[i]):
+                if gv not in shared_depth:
+                    continue
+                eye = -rts[li][:, :3].T @ rts[li][:, 3]
+                if np.all(np.abs(eye - center) < half):
+                    continue  # the publishing tile itself
+                o, rd = rays_mod.get_all_rays(
+                    H, W, jnp.asarray(rts[li]), jnp.asarray(cams.ks[li])
+                )
+                from scanerf_tpu.ops.intersect import ray_aabb
+
+                b = np.asarray(
+                    ray_aabb(o, rd, jnp.asarray(center), jnp.asarray(half))
+                )
+                depth = np.kron(
+                    shared_depth[gv], np.ones((2, 2), np.float32)
+                )[:H, :W].reshape(-1)
+                mask = (depth > b[:, 0]) & (b[:, 0] != -1)
+                mask = mask.reshape(H, W).astype(np.uint8)
+                # reference: dilate the INVALID region with a 91-box
+                mask = 1 - cv2.dilate(1 - mask, kernel)
+                occl[li] = mask.astype(bool)
+                changed = True
+            new_datas.append(d.replace(occlusions=jnp.asarray(occl)))
+        if not changed:
+            return data
+        self.datas = new_datas
+        n_pad = tiles.cam_map.shape[0] - len(new_datas)
+        stack = new_datas + [new_datas[-1]] * n_pad
+        new_data = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *stack)
+        _, new_data = tp.shard_parallel(
+            tp.make_tile_mesh(self.mesh_devices), tiles, new_data
+        )
+        print(f"refreshed occlusion masks from {len(shared_depth)} shared depths")
+        return new_data
 
     def _eval(self, tiles, step):
         import cv2
