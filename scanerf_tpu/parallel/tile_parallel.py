@@ -66,6 +66,7 @@ def build_admm_round(
     tx,
     n_inner: int,
     n_global_cams: int,
+    update_confidence: bool = False,
 ):
     """Build the jitted sync-round function.
 
@@ -73,20 +74,24 @@ def build_admm_round(
         (tiles', (train_aux, consensus_aux))
     """
 
-    def one_tile_steps(state: TrainState, data: TileData, key: jax.Array):
+    def one_tile_steps(
+        state: TrainState, data: TileData, key: jax.Array, conf0: jax.Array
+    ):
         def body(i, carry):
-            state, _ = carry
+            state, _, conf = carry
             k = jax.random.fold_in(key, i)
             new_state, aux = tile_lib.train_step.__wrapped__(
                 state, data, k, tc, tx
             )
-            return new_state, aux["total_loss"]
+            # confidence EMA (tile.py:360): conf = 0.9*conf + 0.1*score
+            new_conf = 0.9 * conf + 0.1 * aux["confidence_score"]
+            return new_state, aux["total_loss"], new_conf
 
-        init_loss = jax.lax.pcast(jnp.asarray(0.0), ("tiles",), to="varying")
-        state, last_loss = jax.lax.fori_loop(
-            0, n_inner, body, (state, init_loss)
+        pv = lambda x: jax.lax.pcast(x, ("tiles",), to="varying")
+        state, last_loss, conf = jax.lax.fori_loop(
+            0, n_inner, body, (state, pv(jnp.asarray(0.0)), conf0)
         )
-        return state, last_loss
+        return state, last_loss, conf
 
     def shard_fn(tiles: ParallelTiles, data: TileData, key: jax.Array):
         # local shapes: [T_local, ...]
@@ -94,7 +99,11 @@ def build_admm_round(
         tile_ids = jax.lax.axis_index("tiles") * T_local + jnp.arange(T_local)
         keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(tile_ids)
 
-        new_state, losses = jax.vmap(one_tile_steps)(tiles.state, data, keys)
+        new_state, losses, conf = jax.vmap(one_tile_steps)(
+            tiles.state, data, keys, tiles.confidence
+        )
+        if update_confidence:
+            tiles = tiles.replace(confidence=conf)
 
         # --- consensus collective (flatten local tiles into the scatter) ---
         admm = new_state.admm

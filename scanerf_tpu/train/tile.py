@@ -77,6 +77,10 @@ class TrainConfig:
     # backward scatter rows 8x (ops/hash_encode.py; PERF.md). Forward is
     # exactly trilinear either way.
     stochastic_hash_grad: bool = True
+    # sparse Adam for the hash table (the reference's vdbAdam capability:
+    # zero-grad entries are fully skipped — cuda/adam_kernel.cu:46-51).
+    # Off by default for parity with the shipped trainer's dense Adam.
+    sparse_adam: bool = False
 
     @classmethod
     def from_cfg(cls, cfg) -> "TrainConfig":
@@ -161,8 +165,14 @@ def build_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
         tc.eta_cam, 0.1 * tc.eta_cam, tc.total_step,
         start_itr=tc.cam_start_steps, end_itr=tc.total_step,
     )
+    if tc.sparse_adam:
+        from scanerf_tpu.train.sparse_adam import scale_by_sparse_adam
+
+        hash_moments = scale_by_sparse_adam(b1=0.9, b2=0.99, eps=1e-15)
+    else:
+        hash_moments = optax.scale_by_adam(b1=0.9, b2=0.99, eps=1e-15)
     tx_hash = optax.chain(
-        optax.scale_by_adam(b1=0.9, b2=0.99, eps=1e-15),
+        hash_moments,
         optax.scale_by_learning_rate(hash_sched),
     )
     # torch Adam weight_decay adds wd*param to the gradient BEFORE moments
@@ -313,6 +323,14 @@ def compute_losses(
     aux["psnr_batch"] = -10.0 * jnp.log10(
         jnp.maximum(losses.rgb_loss(out["pred_color"], gt_color, valid), 1e-10)
     )
+    # per-camera photometric score for the ADMM confidence EMA
+    # (update_confidence, tile.py:354-360; disabled by default upstream)
+    err = jnp.mean(jnp.abs(out["pred_color"] - gt_color), axis=-1)  # [N*B]
+    vc = valid.reshape(N_cam, B).astype(err.dtype)
+    score = 1.0 - jnp.sum(err.reshape(N_cam, B) * vc, axis=1) / jnp.maximum(
+        jnp.sum(vc, axis=1), 1.0
+    )
+    aux["confidence_score"] = score
     return loss, aux
 
 

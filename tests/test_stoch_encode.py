@@ -49,3 +49,28 @@ def test_dtable_unbiased():
     assert np.median(rel) < 0.15, float(np.median(rel))
     # totals match closely
     np.testing.assert_allclose(gs.sum(), ge.sum(), rtol=0.02)
+
+
+def test_sparse_adam_matches_dense_on_active_and_freezes_inactive():
+    import optax
+
+    from scanerf_tpu.train.sparse_adam import scale_by_sparse_adam
+
+    p = jnp.ones((8, 2))
+    g = jnp.zeros((8, 2)).at[2].set(1.0).at[5].set(-0.5)
+
+    sp = scale_by_sparse_adam(b1=0.9, b2=0.99, eps=1e-15)
+    de = optax.scale_by_adam(b1=0.9, b2=0.99, eps=1e-15)
+    s_sp, s_de = sp.init(p), de.init(p)
+    u_sp, s_sp = sp.update(g, s_sp)
+    u_de, s_de = de.update(g, s_de)
+    # active rows match dense Adam's first step exactly
+    np.testing.assert_allclose(np.asarray(u_sp)[2], np.asarray(u_de)[2], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(u_sp)[5], np.asarray(u_de)[5], atol=1e-6)
+    # inactive rows emit exactly zero
+    mask = np.ones(8, bool); mask[[2, 5]] = False
+    assert (np.asarray(u_sp)[mask] == 0).all()
+    # second step with zero grad everywhere: sparse freezes, counts stay
+    u2, s_sp2 = sp.update(jnp.zeros_like(g), s_sp)
+    assert (np.asarray(u2) == 0).all()
+    np.testing.assert_array_equal(np.asarray(s_sp2.count), np.asarray(s_sp.count))
