@@ -161,6 +161,34 @@ def load_scene(
 
 
 # ---------------------------------------------------------------------------
+# Tanks & Temples cameras (tools/loader.py)
+# ---------------------------------------------------------------------------
+
+def load_cameras_tat(path: str) -> tuple[np.ndarray, np.ndarray]:
+    """Load Tanks&Temples-style pose/ + intrinsics/ txt dirs:
+    per-camera flattened 4x4 matrices, numeric filename order."""
+    import glob as globlib
+
+    def by_num(p):
+        return int(os.path.splitext(os.path.basename(p))[0])
+
+    pose_files = sorted(
+        globlib.glob(os.path.join(path, "pose", "*.txt")), key=by_num
+    )
+    intr_files = sorted(
+        globlib.glob(os.path.join(path, "intrinsics", "*.txt")), key=by_num
+    )
+    assert len(pose_files) == len(intr_files)
+    ks, c2ws = [], []
+    for pf, kf in zip(pose_files, intr_files):
+        vals = [float(x) for x in open(pf).readline().split()]
+        c2ws.append(np.array(vals[:12], np.float32).reshape(3, 4))
+        kv = [float(x) for x in open(kf).readline().split()]
+        ks.append(np.array(kv, np.float32).reshape(4, 4)[:3, :3])
+    return np.stack(ks), np.stack(c2ws)
+
+
+# ---------------------------------------------------------------------------
 # tiles metadata
 # ---------------------------------------------------------------------------
 

@@ -113,6 +113,62 @@ def inference_sigma(params: dict, features: jax.Array) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# Generic building blocks (network.py extras)
+# ---------------------------------------------------------------------------
+
+def positional_encoding(x: jax.Array, L: int) -> jax.Array:
+    """[x, sin(2^i x), cos(2^i x)] for i < L (network.py:93-104)."""
+    outs = [x]
+    for i in range(L):
+        outs.append(jnp.sin(2.0**i * x))
+        outs.append(jnp.cos(2.0**i * x))
+    return jnp.concatenate(outs, axis=-1)
+
+
+def weighted_positional_encoding(
+    x: jax.Array, L: int, global_step: jax.Array, start: float, end: float
+) -> jax.Array:
+    """BARF coarse-to-fine PE (network.py:106-124): frequency bands fade
+    in as alpha = (step-start)/(end-start)*L."""
+    emb = positional_encoding(x, L)
+    alpha = jnp.clip((global_step - start) / (end - start) * L, 0.0, L)
+    k = jnp.arange(L, dtype=x.dtype)
+    w = (1.0 - jnp.cos(jnp.clip(alpha - k, 0.0, 1.0) * jnp.pi)) / 2.0
+    C = x.shape[-1]
+    band_w = jnp.repeat(w, 2 * C)  # sin+cos per band, per channel
+    return jnp.concatenate([emb[..., :C], emb[..., C:] * band_w], axis=-1)
+
+
+def init_general_mlp(
+    key: jax.Array,
+    num_in: int,
+    num_out: int,
+    hidden_depth: int = 4,
+    hidden_width: int = 64,
+) -> list[dict]:
+    """GeneralMLP builder (network.py:127-148): depth 1 = single linear;
+    otherwise in->w, (depth-2) x w->w, w->out."""
+    if hidden_depth == 1:
+        return [_linear_init(key, num_in, num_out)]
+    ks = jax.random.split(key, hidden_depth)
+    layers = [_linear_init(ks[0], num_in, hidden_width)]
+    for i in range(hidden_depth - 2):
+        layers.append(_linear_init(ks[1 + i], hidden_width, hidden_width))
+    layers.append(_linear_init(ks[-1], hidden_width, num_out))
+    return layers
+
+
+def apply_general_mlp(
+    layers: list[dict], x: jax.Array, activation=gaussian_act, output_act: bool = False
+) -> jax.Array:
+    for i, p in enumerate(layers):
+        x = _linear(p, x)
+        if i < len(layers) - 1 or output_act:
+            x = activation(x)
+    return x
+
+
+# ---------------------------------------------------------------------------
 # Packed parameter vector (inference export)
 # ---------------------------------------------------------------------------
 # Layout mirrors hashgrid/include/decoder.h:48-67 + rendering.py:100-113:

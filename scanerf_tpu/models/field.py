@@ -336,6 +336,58 @@ def render_rays(
     return out
 
 
+def compute_normal(
+    params: FieldParams,
+    state: FieldState,
+    samples: jax.Array,
+    step: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """Normals as the negated normalized density gradient
+    (``HashGrid.compute_normal``, hashgrid/__init__.py:374-392).
+
+    samples: [..., 3] world points. Returns (normal [..., 3], sigma
+    [..., 1]).
+    """
+    shape = samples.shape
+    flat = samples.reshape(-1, 3)
+
+    def sigma_of(p):
+        # (the reference queries HE on raw points here, :370 — we apply
+        # the fg contraction for consistency with the render path)
+        x = contract_fore(state, p)
+        return field_inference_sigma(params, state, x[None], step)[0, 0]
+
+    sigma, grads = jax.vmap(jax.value_and_grad(sigma_of))(flat)
+    normal = -grads / (jnp.linalg.norm(grads, axis=-1, keepdims=True) + 1e-8)
+    return normal.reshape(shape), sigma.reshape(*shape[:-1], 1)
+
+
+def render_normals(
+    params: FieldParams,
+    state: FieldState,
+    rays_o: jax.Array,
+    rays_d: jax.Array,
+    num_sample: int,
+    step: jax.Array,
+    num_march: int = 512,
+) -> jax.Array:
+    """Accumulated surface normals in [0, 1] (``TILE.render_normals``,
+    tile.py:696-714)."""
+    z_vals, dists, valid = sampling.sample_points_grid(
+        rays_o, rays_d, num_sample,
+        state.occupied_grid, inner_corner(state), inner_size(state),
+        num_march=num_march,
+    )
+    z = jnp.where(valid[:, None], z_vals, 0.0)
+    d = jnp.where(valid[:, None], dists, 0.0)
+    samples = rays_o[:, None, :] + z[..., None] * rays_d[:, None, :]
+    normals, sigma = compute_normal(params, state, samples, step)
+    weights, _ = integrate.integrate_weights(sigma[..., 0], d, rays_d, infinity=False)
+    weights = jnp.where(valid[:, None], weights, 0.0)
+    pred = integrate.accumulate(weights, jax.lax.stop_gradient(normals))
+    return (pred + 1.0) / 2.0
+
+
 def field_inference_sigma(
     params: FieldParams, state: FieldState, samples: jax.Array, step: jax.Array
 ) -> jax.Array:

@@ -199,6 +199,85 @@ def cam2world(X: jax.Array, pose: jax.Array) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# Quaternions (camera.py:144-193)
+# ---------------------------------------------------------------------------
+
+def q_to_R(q: jax.Array) -> jax.Array:
+    """Unit quaternion [..., 4] (w, x, y, z) -> rotation [..., 3, 3]."""
+    qa, qb, qc, qd = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    return jnp.stack(
+        [
+            jnp.stack([1 - 2 * (qc**2 + qd**2), 2 * (qb * qc - qa * qd), 2 * (qa * qc + qb * qd)], -1),
+            jnp.stack([2 * (qb * qc + qa * qd), 1 - 2 * (qb**2 + qd**2), 2 * (qc * qd - qa * qb)], -1),
+            jnp.stack([2 * (qb * qd - qa * qc), 2 * (qa * qb + qc * qd), 1 - 2 * (qb**2 + qc**2)], -1),
+        ],
+        axis=-2,
+    )
+
+
+def R_to_q(R: jax.Array, eps: float = 1e-8) -> jax.Array:
+    """Rotation -> quaternion (branch-free variant of camera.py:154-178;
+    valid away from the trace = -1 singularity)."""
+    t = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
+    r = jnp.sqrt(jnp.maximum(1 + t, 0.0) + eps)
+    qa = 0.5 * r
+    qb = jnp.sign(R[..., 2, 1] - R[..., 1, 2]) * 0.5 * jnp.sqrt(
+        jnp.maximum(1 + R[..., 0, 0] - R[..., 1, 1] - R[..., 2, 2], 0.0) + eps
+    )
+    qc = jnp.sign(R[..., 0, 2] - R[..., 2, 0]) * 0.5 * jnp.sqrt(
+        jnp.maximum(1 - R[..., 0, 0] + R[..., 1, 1] - R[..., 2, 2], 0.0) + eps
+    )
+    qd = jnp.sign(R[..., 1, 0] - R[..., 0, 1]) * 0.5 * jnp.sqrt(
+        jnp.maximum(1 - R[..., 0, 0] - R[..., 1, 1] + R[..., 2, 2], 0.0) + eps
+    )
+    return jnp.stack([qa, qb, qc, qd], axis=-1)
+
+
+def q_invert(q: jax.Array) -> jax.Array:
+    conj = q * jnp.array([1.0, -1.0, -1.0, -1.0], q.dtype)
+    return conj / jnp.sum(q * q, axis=-1, keepdims=True)
+
+
+def q_product(q1: jax.Array, q2: jax.Array) -> jax.Array:
+    a1, b1, c1, d1 = q1[..., 0], q1[..., 1], q1[..., 2], q1[..., 3]
+    a2, b2, c2, d2 = q2[..., 0], q2[..., 1], q2[..., 2], q2[..., 3]
+    return jnp.stack(
+        [
+            a1 * a2 - b1 * b2 - c1 * c2 - d1 * d2,
+            a1 * b2 + b1 * a2 + c1 * d2 - d1 * c2,
+            a1 * c2 - b1 * d2 + c1 * a2 + d1 * b2,
+            a1 * d2 + b1 * c2 - c1 * b2 + d1 * a2,
+        ],
+        axis=-1,
+    )
+
+
+# ---------------------------------------------------------------------------
+# NDC conversion (camera.py:310-327)
+# ---------------------------------------------------------------------------
+
+def convert_ndc(center: jax.Array, ray: jax.Array, K: jax.Array, near: float = 1.0):
+    """Shift origins to the near plane and project to NDC (+z forward)."""
+    center = center + (near - center[..., 2:]) / ray[..., 2:] * ray
+    cx, cy, cz = center[..., 0], center[..., 1], center[..., 2]
+    rx, ry, rz = ray[..., 0], ray[..., 1], ray[..., 2]
+    scale_x = K[..., 0, 0] / K[..., 0, 2]
+    scale_y = K[..., 1, 1] / K[..., 1, 2]
+    center_ndc = jnp.stack(
+        [scale_x * (cx / cz), scale_y * (cy / cz), 1 - 2 * near / cz], -1
+    )
+    ray_ndc = jnp.stack(
+        [
+            scale_x * (rx / rz - cx / cz),
+            scale_y * (ry / rz - cy / cz),
+            2 * near / cz,
+        ],
+        -1,
+    )
+    return center_ndc, ray_ndc
+
+
+# ---------------------------------------------------------------------------
 # Evaluation helpers (camera.py:329-353)
 # ---------------------------------------------------------------------------
 

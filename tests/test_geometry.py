@@ -172,3 +172,22 @@ def test_scene_io_roundtrip(tmp_path):
     out = io.read_tile_info(str(tmp_path / "ti.txt"))
     assert out[0].resolution == (32, 4096) and out[0].init_outside
     np.testing.assert_allclose(out[0].corner, [0, 1, 2])
+
+
+def test_load_cameras_tat(tmp_path):
+    import os
+
+    from scanerf_tpu.data.io import load_cameras_tat
+
+    os.makedirs(tmp_path / "pose")
+    os.makedirs(tmp_path / "intrinsics")
+    c2w = np.eye(4).reshape(-1)
+    K = np.diag([100.0, 100.0, 1.0, 1.0]).reshape(-1)
+    for i in range(3):
+        with open(tmp_path / "pose" / f"{i}.txt", "w") as f:
+            f.write(" ".join(str(v) for v in c2w) + "\n")
+        with open(tmp_path / "intrinsics" / f"{i}.txt", "w") as f:
+            f.write(" ".join(str(v) for v in K) + "\n")
+    ks, c2ws = load_cameras_tat(str(tmp_path))
+    assert ks.shape == (3, 3, 3) and c2ws.shape == (3, 3, 4)
+    np.testing.assert_allclose(ks[0, 0, 0], 100.0)
