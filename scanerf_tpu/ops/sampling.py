@@ -108,7 +108,14 @@ def sample_points_grid(
 
     z_vals = jnp.where(valid[:, None], z_vals, -1.0)
     dists = jnp.where(valid[:, None], dists, -1.0)
-    return z_vals, dists, valid
+    # the reference sampler is a no-grad CUDA kernel (tile.py calls it
+    # under torch.no_grad()); gradients reach sample positions only
+    # through rays_o/rays_d, never through z placement
+    return (
+        jax.lax.stop_gradient(z_vals),
+        jax.lax.stop_gradient(dists),
+        valid,
+    )
 
 
 def inverse_z_sampling(
@@ -143,4 +150,5 @@ def inverse_z_sampling(
     z_vals = 1.0 / (1.0 / (t_exit[:, None] + 1e-6) * (1.0 - t_vals) + (1.0 / far) * t_vals)
     dists = z_vals[:, 1:] - z_vals[:, :-1]
     dists = jnp.concatenate([dists, jnp.full_like(dists[:, :1], 1e-6)], axis=-1)
-    return z_vals, dists, valid
+    # no-grad like the reference (@torch.no_grad, hashgrid/__init__.py:305)
+    return jax.lax.stop_gradient(z_vals), jax.lax.stop_gradient(dists), valid

@@ -426,6 +426,19 @@ class Trainer:
                 os.path.join(self.logdir, f"cams-tile{tile_idx}-{step}.npz"),
                 se3_refine=np.asarray(s.params.se3_refine),
             )
+            # pose error vs GT when camera-gt.log exists (CAM.evaluate,
+            # camera_utils.py:115-121; upstream call commented out)
+            if self.gt_c2ws is not None:
+                n_real = len(views)
+                r_deg, t_err = cam_lib.evaluate_camera_alignment(
+                    _slice_cams(data.cameras, n_real),
+                    s.params.se3_refine[:n_real],
+                )
+                with open(os.path.join(self.logdir, "training.log"), "a") as f:
+                    f.write(
+                        f"step {step} tile {tile_idx} pose_err "
+                        f"R {float(r_deg):.4f}deg t {float(t_err):.6f}\n"
+                    )
 
     def _export(self, tiles):
         states = _unstack(tiles.state, len(self.tile_idxs))
