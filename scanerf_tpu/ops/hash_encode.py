@@ -216,23 +216,42 @@ def _hes_bwd(res, g):
             (cdf < u_sample[:, None] * cdf[:, -1:]).astype(jnp.int32), axis=1
         )
         corner_id = jnp.clip(corner_id, 0, 7)
-        h_sel = jnp.take_along_axis(h, corner_id[:, None], axis=1)[:, 0]
+
+        # corner selection via bit arithmetic — take_along_axis would be
+        # another latency-bound row gather per (point, level)
+        def corner_hash(cid):
+            bx = (cid >> 2) & 1  # x-major corner order (_CORNERS)
+            by = (cid >> 1) & 1
+            bz = cid & 1
+            sel = lambda pair, b: jnp.where(b == 1, pair[:, 1], pair[:, 0])
+            return (sel(hx, bx) ^ sel(hy, by) ^ sel(hz, bz)) & jnp.uint32(H - 1)
+
+        h_sel = corner_hash(corner_id)
         d_table = jnp.zeros((H, F), g_l.dtype).at[h_sel.astype(jnp.int32)].add(g_l)
 
-        # --- dPoints: exact analytic (recomputes the corner gather) ---
-        gathered = table[h.astype(jnp.int32)]  # [N, 8, F]
-        gv = jnp.einsum("nkf,nf->nk", gathered, g_l)  # [N, 8]
+        # --- dPoints: one UNIFORM-sampled corner (estimator 8 * f(c),
+        # bounded variance; the exact form sums f over all 8 corners and
+        # would regather every corner) ---
+        c2 = jnp.floor(u_sample * 7.9999).astype(jnp.int32)  # [N] uniform 0..7
+        h2 = corner_hash(c2)
+        T_c = table[h2.astype(jnp.int32)]  # [N, F] single-corner gather
+        gv = jnp.sum(T_c * g_l, axis=-1)  # [N]
         # w factorizes per axis: w = wx*wy*wz; dw/d(offset_axis) = sign*rest
-        wxc = cx * ox + (1 - cx) * (1 - ox)  # [N, 8]
-        wyc = cy * oy + (1 - cy) * (1 - oy)
-        wzc = cz * oz + (1 - cz) * (1 - oz)
-        sx = 2.0 * cx - 1.0  # [8]
-        sy = 2.0 * cy - 1.0
-        sz = 2.0 * cz - 1.0
+        # (per-axis terms of the SAMPLED corner, all elementwise)
+        b2x = ((c2 >> 2) & 1).astype(points.dtype)
+        b2y = ((c2 >> 1) & 1).astype(points.dtype)
+        b2z = (c2 & 1).astype(points.dtype)
+        oxf, oyf, ozf = off[:, 0], off[:, 1], off[:, 2]
+        wx_c = b2x * oxf + (1 - b2x) * (1 - oxf)
+        wy_c = b2y * oyf + (1 - b2y) * (1 - oyf)
+        wz_c = b2z * ozf + (1 - b2z) * (1 - ozf)
+        sx = 2.0 * b2x - 1.0
+        sy = 2.0 * b2y - 1.0
+        sz = 2.0 * b2z - 1.0
         dscale = (resolution.astype(points.dtype) - 1.0) / 4.0  # d offset / d point
-        dpx = jnp.sum(gv * sx[None, :] * wyc * wzc, axis=1) * dscale[0]
-        dpy = jnp.sum(gv * wxc * sy[None, :] * wzc, axis=1) * dscale[1]
-        dpz = jnp.sum(gv * wxc * wyc * sz[None, :], axis=1) * dscale[2]
+        dpx = 8.0 * gv * sx * wy_c * wz_c * dscale[0]
+        dpy = 8.0 * gv * wx_c * sy * wz_c * dscale[1]
+        dpz = 8.0 * gv * wx_c * wy_c * sz * dscale[2]
         d_points = jnp.stack([dpx, dpy, dpz], axis=-1)
         return carry + d_points, d_table
 

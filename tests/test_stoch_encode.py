@@ -24,11 +24,23 @@ def test_forward_matches_exact():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
-def test_dpoints_matches_exact():
-    pts, feats, res = setup()
-    g_exact = jax.grad(lambda p: jnp.sum(jnp.sin(he.hash_encode(p, feats, res))))(pts)
-    g_stoch = jax.grad(lambda p: jnp.sum(jnp.sin(he.hash_encode_stoch(p, feats, res))))(pts)
-    np.testing.assert_allclose(np.asarray(g_stoch), np.asarray(g_exact), rtol=1e-3, atol=1e-5)
+def test_dpoints_unbiased():
+    """dPoints now uses one uniform-sampled corner (x8 scaling): per-point
+    values are noisy but unbiased — check aggregate statistics."""
+    pts, feats, res = setup(N=20000)
+    g_exact = jax.grad(lambda p: jnp.sum(he.hash_encode(p, feats, res)))(pts)
+    g_stoch = jax.grad(lambda p: jnp.sum(he.hash_encode_stoch(p, feats, res)))(pts)
+    ge, gs = np.asarray(g_exact), np.asarray(g_stoch)
+    # population means match per dimension (law of large numbers)
+    scale = np.abs(ge).mean()
+    np.testing.assert_allclose(gs.mean(0), ge.mean(0), atol=0.05 * scale + 1e-6)
+    # direction correlates over the whole batch; a single-corner
+    # estimator of an 8-term sum carries ~7x signal variance, which
+    # bounds the expected cosine near 1/sqrt(8) ~ 0.35 — the pose-
+    # recovery integration test is the end-to-end check that this noise
+    # level still drives bundle adjustment
+    cos = (ge * gs).sum() / (np.linalg.norm(ge) * np.linalg.norm(gs) + 1e-12)
+    assert cos > 0.25, float(cos)
 
 
 def test_dtable_unbiased():
