@@ -304,8 +304,10 @@ def render_rays(
     invalid_underground: bool = False,
     num_march: int = 512,
     stochastic_grad: bool = False,
+    bg_z: tuple[jax.Array, jax.Array, jax.Array] | None = None,
 ) -> dict[str, jax.Array]:
-    """fg + bg composite (``tile.py:639-692``)."""
+    """fg + bg composite (``tile.py:639-692``). ``bg_z`` supplies
+    precomputed BS-mode background samples (z, dists, valid)."""
     fg = render_fore_rays(
         params, state, rays_o, rays_d, num_fg_sample, step,
         occlusion_mask=occlusion_mask, train=train, num_march=num_march,
@@ -316,6 +318,7 @@ def render_rays(
         occlusion_mask=occlusion_mask, train=train,
         invalid_underground=invalid_underground,
         stochastic_grad=stochastic_grad,
+        bg_z=bg_z,
     )
     T = fg["T_left"][:, None]
     out = {

@@ -118,6 +118,38 @@ def sample_points_grid(
     )
 
 
+def background_window_sampling(
+    rays_o: jax.Array,
+    rays_d: jax.Array,
+    bg_depth: jax.Array,  # [N] mesh depth behind the tile (0 = none)
+    bbox_center: jax.Array,
+    bbox_size: jax.Array,
+    num_sample: int,
+    sample_range: float,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Mesh-guided BS background sampling, jit-side half.
+
+    Mirrors ``background_sampling_cuda`` (cuda/sample_kernel.cu:17-68) +
+    ``FastMesh.background_sampling`` (:79-87): a uniform window of
+    ``sample_range`` starting at ``max(tile exit, bg_depth - range/2)``.
+    The mesh depth itself comes from precomputed per-camera maps
+    (``FastMesh.compute_bgdepth``) — the TPU-first replacement for the
+    reference's in-loop CUDA mesh queries. Rays without background
+    (bg_depth <= 0) or missing the bbox are invalid.
+    """
+    bounds = ray_aabb(rays_o, rays_d, bbox_center, bbox_size / 2.0)
+    t_exit = bounds[:, 1]
+    valid = (bounds[:, 1] != -1.0) & (bg_depth > 0)
+    start = jnp.maximum(t_exit, bg_depth - sample_range / 2.0)
+    step = sample_range / num_sample
+    i = jnp.arange(num_sample, dtype=rays_o.dtype)
+    z_vals = start[:, None] + i[None, :] * step
+    dists = z_vals[:, 1:] - z_vals[:, :-1]
+    dists = jnp.concatenate([dists, jnp.full_like(dists[:, :1], 1e-6)], axis=-1)
+    z_vals = jnp.where(valid[:, None], z_vals, -1.0)
+    return jax.lax.stop_gradient(z_vals), jax.lax.stop_gradient(dists), valid
+
+
 def inverse_z_sampling(
     rays_o: jax.Array,
     rays_d: jax.Array,

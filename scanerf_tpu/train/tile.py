@@ -66,6 +66,7 @@ class TrainConfig:
     rho: float = 0.0
     syn_start: int = 0
     invalid_underground: bool = False
+    bg_mode: str = "IZ"  # "IZ" inverse-z | "BS" mesh-guided window
     # optimizer
     eta_hash: float = 1e-3
     eta_decoder: float = 1e-3
@@ -106,6 +107,7 @@ class TrainConfig:
             rho=cfg.RHO,
             syn_start=cfg.SYN_START,
             invalid_underground=cfg.INVALID_UNDERGROUND,
+            bg_mode=T.BG_MODE,
             eta_hash=T.ETA.HASH_FEATURE,
             eta_decoder=T.ETA.DECODER,
             eta_cam=T.ETA.CAM,
@@ -152,6 +154,9 @@ class TileData:
     cameras: Cameras
     mono_depths: jax.Array  # [N, H, W] (zeros if unused)
     mono_normals: jax.Array  # [N, H, W, 3] (zeros if unused)
+    # mesh background depths for BG_MODE="BS" (FastMesh.compute_bgdepth);
+    # zeros when unused (IZ mode)
+    bg_depths: jax.Array = None
 
 
 # ---------------------------------------------------------------------------
@@ -263,6 +268,19 @@ def compute_losses(
     gt_color = data.images.reshape(N_cam, H * W, 3)[:, ray_idx].reshape(-1, 3)
     occl = data.occlusions.reshape(N_cam, H * W)[:, ray_idx].reshape(-1)
 
+    bg_z = None
+    if tc.bg_mode == "BS" and data.bg_depths is not None:
+        from scanerf_tpu.ops.sampling import background_window_sampling
+
+        bgd = data.bg_depths.reshape(N_cam, H * W)[:, ray_idx].reshape(-1)
+        bg_z = background_window_sampling(
+            rays_o, rays_d, bgd,
+            field_state.min_bbox + field_state.bbox_size / 2.0,
+            field_state.bbox_size,
+            tc.num_bg_sample,
+            # bbox_size.max()/10 (hashgrid/__init__.py:299)
+            jnp.max(field_state.bbox_size) / 10.0,
+        )
     out = field_lib.render_rays(
         params.field, field_state, rays_o, rays_d,
         tc.num_sample, tc.num_bg_sample, stepf,
@@ -270,6 +288,7 @@ def compute_losses(
         invalid_underground=tc.invalid_underground,
         num_march=tc.num_march,
         stochastic_grad=tc.stochastic_hash_grad,
+        bg_z=bg_z,
     )
     valid = out["fore_valid"] | out["bg_valid"]
 

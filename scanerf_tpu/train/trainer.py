@@ -181,6 +181,23 @@ class Trainer:
             occl = np.ones((len(views), H, W), bool)
 
         zeros_hw = np.zeros((len(views), H, W), np.float32)
+        # BG_MODE="BS": precompute per-camera mesh background depths
+        # (FastMesh.compute_bgdepth) so the jitted step samples the mesh
+        # window without host round-trips
+        bg_depths = None
+        if self.cfg.TRAINING.BG_MODE == "BS" and self.fmesh is not None:
+            self.fmesh.set(center, info.size)  # full (doubled) half-size
+            rts0 = np.asarray(cams.rts)
+            bg_depths = np.zeros((len(views), H, W), np.float32)
+            for i in range(len(views)):
+                o, dvec = rays_mod.get_all_rays(
+                    H, W, jnp.asarray(rts0[i]), jnp.asarray(scene.ks[i])
+                )
+                bg_z, has_bg, _ = self.fmesh.compute_bgdepth_batch(
+                    np.asarray(o), np.asarray(dvec)
+                )
+                bg_depths[i] = np.where(has_bg, bg_z, 0.0).reshape(H, W)
+            self.fmesh.set(center, info.size / 2.0)
         data = TileData(
             images=jnp.asarray(scene.images),
             occlusions=jnp.asarray(occl),
@@ -193,6 +210,7 @@ class Trainer:
                 if scene.mono_normals is not None
                 else np.zeros((len(views), H, W, 3), np.float32)
             ),
+            bg_depths=jnp.asarray(bg_depths) if bg_depths is not None else None,
         )
         # pad the camera dimension so all tiles share one pytree structure
         # (padded cameras are fully occluded -> contribute nothing)

@@ -79,3 +79,18 @@ def test_render_image_shapes():
     out = tile_lib.render_image(state, data.cameras, 0, 16, 16, tc, chunk=128)
     assert out["rgb"].shape == (16, 16, 3)
     assert np.isfinite(out["rgb"]).all()
+
+
+def test_train_step_bs_background_mode():
+    """BG_MODE=BS: mesh-window background sampling from precomputed depths."""
+    import dataclasses
+
+    state, data, tc, tx = build_tiny_setup(n_cameras=2, H=16, W=16)
+    tc = dataclasses.replace(tc, bg_mode="BS")
+    # synthetic bg depth: constant 3.0 behind the tile, one camera no-bg
+    bg = np.full((2, 16, 16), 3.0, np.float32)
+    bg[1] = 0.0
+    data = dataclasses.replace(data, bg_depths=jnp.asarray(bg))
+    tx2 = tile_lib.build_optimizer(tc)
+    state, aux = tile_lib.train_step(state, data, jax.random.PRNGKey(0), tc, tx2)
+    assert np.isfinite(float(aux["total_loss"]))
