@@ -1,0 +1,117 @@
+"""Parity: Pallas windowed hash kernel vs the pure-jnp oracle.
+
+Runs in interpret mode on CPU (conftest forces the cpu backend). The
+oracle ``hash_encode_windowed_ref`` uses identical index math via XLA
+gather/scatter, so fwd/bwd must agree to float tolerance.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from scanerf_tpu.ops.pallas import hash_encode as hw
+
+L = 4
+H = 4096  # minimum table: one block
+
+
+def _make_inputs(key, n_points, h=H, levels=L, spread=2.0):
+    kp, kf = jax.random.split(key)
+    pts = jax.random.uniform(kp, (n_points, 3), minval=-spread, maxval=spread)
+    feats = 0.1 * jax.random.normal(kf, (levels, h, 2), jnp.float32)
+    res = jnp.asarray(
+        np.stack(
+            [np.array([16, 16, 16]) * (2**i) for i in range(levels)]
+        ),
+        jnp.int32,
+    )
+    return pts, feats, res
+
+
+def test_forward_parity():
+    pts, feats, res = _make_inputs(jax.random.PRNGKey(0), 1000)
+    out_k = hw.hash_encode_windowed(pts, feats, res)
+    out_r = hw.hash_encode_windowed_ref(pts, feats, res)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_forward_parity_multiblock():
+    # H=16384 -> 4 blocks; clustered + uniform points exercise dense and
+    # sparse blocks, block changes, and empty blocks
+    key = jax.random.PRNGKey(1)
+    pts, feats, res = _make_inputs(key, 700, h=16384)
+    cluster = 0.01 * jax.random.normal(key, (500, 3)) + 1.3
+    pts = jnp.concatenate([pts[:200], cluster], axis=0)
+    out_k = hw.hash_encode_windowed(pts, feats, res)
+    out_r = hw.hash_encode_windowed_ref(pts, feats, res)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_backward_parity():
+    pts, feats, res = _make_inputs(jax.random.PRNGKey(2), 600)
+    tang = jax.random.normal(jax.random.PRNGKey(3), (600, L * 2))
+
+    def loss_k(p, f):
+        return jnp.sum(hw.hash_encode_windowed(p, f, res) * tang)
+
+    def loss_r(p, f):
+        return jnp.sum(hw.hash_encode_windowed_ref(p, f, res) * tang)
+
+    dp_k, df_k = jax.grad(loss_k, argnums=(0, 1))(pts, feats)
+    dp_r, df_r = jax.grad(loss_r, argnums=(0, 1))(pts, feats)
+    np.testing.assert_allclose(np.asarray(df_k), np.asarray(df_r),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dp_k), np.asarray(dp_r),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_backward_parity_multiblock():
+    key = jax.random.PRNGKey(4)
+    pts, feats, res = _make_inputs(key, 900, h=16384)
+    tang = jax.random.normal(jax.random.PRNGKey(5), (900, L * 2))
+
+    def loss_k(p, f):
+        return jnp.sum(hw.hash_encode_windowed(p, f, res) * tang)
+
+    def loss_r(p, f):
+        return jnp.sum(hw.hash_encode_windowed_ref(p, f, res) * tang)
+
+    dp_k, df_k = jax.grad(loss_k, argnums=(0, 1))(pts, feats)
+    dp_r, df_r = jax.grad(loss_r, argnums=(0, 1))(pts, feats)
+    np.testing.assert_allclose(np.asarray(df_k), np.asarray(df_r),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(dp_k), np.asarray(dp_r),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_window_id_range():
+    pts = jnp.asarray(
+        [[-2.0, -2.0, -2.0], [2.0, 2.0, 2.0], [0.0, 0.0, 0.0]]
+    )
+    u = (pts + 2.0) * 0.25
+    wid = hw.window_id(u, H)
+    NW, NB, dims = hw.geometry(H)
+    assert NW == 64 and NB == 1
+    assert (np.asarray(wid) >= 0).all() and (np.asarray(wid) < NW).all()
+
+
+def test_expand_warp_monotone_and_bounds():
+    u = jnp.linspace(0.0, 1.0, 257)
+    w = np.asarray(hw.expand_warp(u))
+    assert w[0] == 0.0 and abs(w[-1] - 1.0) < 1e-6
+    assert (np.diff(w) > 0).all()
+    # fg octant [0.25, 0.75] stretches to [0.125, 0.875]
+    assert abs(float(hw.expand_warp(jnp.asarray(0.25))) - 0.125) < 1e-6
+    assert abs(float(hw.expand_warp(jnp.asarray(0.75))) - 0.875) < 1e-6
+
+
+@pytest.mark.parametrize("n", [1, 127, 128, 129])
+def test_odd_sizes(n):
+    pts, feats, res = _make_inputs(jax.random.PRNGKey(6), n)
+    out_k = hw.hash_encode_windowed(pts, feats, res)
+    out_r = hw.hash_encode_windowed_ref(pts, feats, res)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r),
+                               rtol=1e-5, atol=1e-6)
