@@ -78,7 +78,7 @@ DEFAULTS: dict[str, Any] = {
     "DATADIR": "",
     "PREFIX": "",
     "DESCRIPTION": "",
-    "RHO": 0.0,
+    "RHO": 100.0,
     "SYN_ITERS": 100,
     "SYN_START": 0,
     "MAX_POSES": 400,
@@ -105,13 +105,16 @@ DEFAULTS: dict[str, Any] = {
         "NUM_BG_SAMPLE": 128,
         "TOTAL_STEP": 40000,
         "BG_MODE": "IZ",
+        # TPU hash backend: "xla" (global prime-XOR hash, reference
+        # semantics) or "windowed" (sorted-stream Pallas kernel)
+        "HASH_BACKEND": "xla",
         "ETA": {"HASH_FEATURE": 1e-3, "DECODER": 1e-3, "CAM": 1e-4},
         "CAMOPT": {"ENABLE": True, "NOISE": 0.0, "START_STEPS": 0},
         "LOSS": {
             "WEIGHT_RGB_LOSS": 1.0,
-            "WEIGHT_WARP_LOSS": 0.0,
-            "WEIGHT_DEPTH_LOSS": 0.0,
-            "WEIGHT_DEPTH_SMOOTH_LOSS": 0.0,
+            "WEIGHT_WARP_LOSS": 1.0,
+            "WEIGHT_DEPTH_LOSS": 0.01,
+            "WEIGHT_DEPTH_SMOOTH_LOSS": 0.001,
             "WARP_WARPING": True,
             "RGB_LOSS_START": 0,
             "WARP_LOSS_START": 0,

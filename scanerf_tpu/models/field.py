@@ -157,37 +157,20 @@ def weight_feature(step: jax.Array, dtype=jnp.float32) -> jax.Array:
 # rendering
 # ---------------------------------------------------------------------------
 
-def render_batch_rays(
-    params: FieldParams,
-    state: FieldState,
-    rays_o: jax.Array,
+def _composite(
+    out: dict[str, jax.Array],
+    z: jax.Array,
+    d: jax.Array,
     rays_d: jax.Array,
-    z_vals: jax.Array,
-    dists: jax.Array,
     valid: jax.Array,
-    step: jax.Array,
-    contract: Callable[[FieldState, jax.Array], jax.Array],
     infinity: bool,
     train: bool,
-    stochastic_grad: bool = False,
 ) -> dict[str, jax.Array]:
-    """Core render (:512-596) with masking instead of boolean compression.
+    """Volume-render decoder outputs (:512-596 post-MLP part).
 
-    valid: [N] bool; invalid rays contribute zeros (T_left stays 1).
+    out: dict with sigma [N,S,1], diffuse/tint/specular [N,S,3];
+    z/d already masked; valid [N] bool.
     """
-    N, S = z_vals.shape
-    z = jnp.where(valid[:, None], z_vals, 0.0)
-    d = jnp.where(valid[:, None], dists, 0.0)
-
-    samples = rays_o[:, None, :] + z[..., None] * rays_d[:, None, :]
-    x = contract(state, samples.reshape(-1, 3))
-    encode = hash_encode_stoch if stochastic_grad else hash_encode
-    feats = encode(x, params.features, state.resolutions).reshape(N, S, FEAT_DIM)
-
-    wf = jnp.repeat(weight_feature(step), 2, axis=-1)  # [32]
-    viewdirs = jnp.broadcast_to(rays_d[:, None, :], (N, S, 3))
-    out = decoder_lib.apply_decoder(params.decoder, feats, viewdirs, wf)
-
     weights, T_left = integrate.integrate_weights(
         out["sigma"], d, rays_d, infinity=infinity
     )
@@ -220,6 +203,39 @@ def render_batch_rays(
             jnp.mean(spec2, axis=-1) * valid
         ) / nvalid
     return res
+
+
+def render_batch_rays(
+    params: FieldParams,
+    state: FieldState,
+    rays_o: jax.Array,
+    rays_d: jax.Array,
+    z_vals: jax.Array,
+    dists: jax.Array,
+    valid: jax.Array,
+    step: jax.Array,
+    contract: Callable[[FieldState, jax.Array], jax.Array],
+    infinity: bool,
+    train: bool,
+    stochastic_grad: bool = False,
+) -> dict[str, jax.Array]:
+    """Core render (:512-596) with masking instead of boolean compression.
+
+    valid: [N] bool; invalid rays contribute zeros (T_left stays 1).
+    """
+    N, S = z_vals.shape
+    z = jnp.where(valid[:, None], z_vals, 0.0)
+    d = jnp.where(valid[:, None], dists, 0.0)
+
+    samples = rays_o[:, None, :] + z[..., None] * rays_d[:, None, :]
+    x = contract(state, samples.reshape(-1, 3))
+    encode = hash_encode_stoch if stochastic_grad else hash_encode
+    feats = encode(x, params.features, state.resolutions).reshape(N, S, FEAT_DIM)
+
+    wf = jnp.repeat(weight_feature(step), 2, axis=-1)  # [32]
+    viewdirs = jnp.broadcast_to(rays_d[:, None, :], (N, S, 3))
+    out = decoder_lib.apply_decoder(params.decoder, feats, viewdirs, wf)
+    return _composite(out, z, d, rays_d, valid, infinity, train)
 
 
 def render_fore_rays(
@@ -291,7 +307,7 @@ def render_bg_rays(
     return out
 
 
-def render_rays(
+def _render_rays_windowed(
     params: FieldParams,
     state: FieldState,
     rays_o: jax.Array,
@@ -299,27 +315,88 @@ def render_rays(
     num_fg_sample: int,
     num_bg_sample: int,
     step: jax.Array,
-    occlusion_mask: jax.Array | None = None,
-    train: bool = True,
-    invalid_underground: bool = False,
-    num_march: int = 512,
-    stochastic_grad: bool = False,
-    bg_z: tuple[jax.Array, jax.Array, jax.Array] | None = None,
+    occlusion_mask: jax.Array | None,
+    train: bool,
+    invalid_underground: bool,
+    num_march: int,
+    bg_z: tuple[jax.Array, jax.Array, jax.Array] | None,
 ) -> dict[str, jax.Array]:
-    """fg + bg composite (``tile.py:639-692``). ``bg_z`` supplies
-    precomputed BS-mode background samples (z, dists, valid)."""
-    fg = render_fore_rays(
-        params, state, rays_o, rays_d, num_fg_sample, step,
-        occlusion_mask=occlusion_mask, train=train, num_march=num_march,
-        stochastic_grad=stochastic_grad,
+    """TPU sorted-stream render: fg+bg points are merged into ONE
+    windowed hash-encode call (``ops/pallas/hash_encode.py``); the
+    decoder runs in the padded-sorted stream and only its 10 output
+    channels are restored to ray order. Same outputs as render_rays.
+    """
+    from scanerf_tpu.ops.pallas import hash_encode as hw
+
+    B = rays_o.shape[0]
+    Sf, Sb = num_fg_sample, num_bg_sample
+    zf, df, vf = sampling.sample_points_grid(
+        rays_o, rays_d, Sf, state.occupied_grid,
+        inner_corner(state), inner_size(state), num_march=num_march,
     )
-    bg = render_bg_rays(
-        params, state, rays_o, rays_d, num_bg_sample, step,
-        occlusion_mask=occlusion_mask, train=train,
-        invalid_underground=invalid_underground,
-        stochastic_grad=stochastic_grad,
-        bg_z=bg_z,
-    )
+    if bg_z is None:
+        zb, db, vb = sampling.inverse_z_sampling(
+            rays_o, rays_d, Sb, state.min_bbox + state.bbox_size / 2.0,
+            state.bbox_size, invalid_underground=invalid_underground,
+        )
+    else:
+        zb, db, vb = bg_z
+    if occlusion_mask is not None:
+        vf = vf & occlusion_mask
+        vb = vb & occlusion_mask
+
+    zfm = jnp.where(vf[:, None], zf, 0.0)
+    dfm = jnp.where(vf[:, None], df, 0.0)
+    zbm = jnp.where(vb[:, None], zb, 0.0)
+    dbm = jnp.where(vb[:, None], db, 0.0)
+
+    xf = contract_fore(
+        state, (rays_o[:, None, :] + zfm[..., None] * rays_d[:, None, :])
+        .reshape(-1, 3))
+    xb = contract_bg(
+        state, (rays_o[:, None, :] + zbm[..., None] * rays_d[:, None, :])
+        .reshape(-1, 3))
+    x = jnp.concatenate([xf, xb], axis=0)
+    dirs = jnp.concatenate([
+        jnp.broadcast_to(rays_d[:, None, :], (B, Sf, 3)).reshape(-1, 3),
+        jnp.broadcast_to(rays_d[:, None, :], (B, Sb, 3)).reshape(-1, 3),
+    ], axis=0)
+
+    Htab = params.features.shape[1]
+    stream = hw.sort_pack(x, dirs, Htab)
+    feats_s = hw.hash_lookup_sorted(
+        stream.pts, stream.meta, stream.visited,
+        params.features, state.resolutions,
+    )  # [Np, 32]
+    Np = feats_s.shape[0]
+    dirs_s = stream.pts[:, 4:7, :].transpose(0, 2, 1).reshape(Np, 3)
+    wf = jnp.repeat(weight_feature(step), 2, axis=-1)
+    dec = decoder_lib.apply_decoder(params.decoder, feats_s, dirs_s, wf)
+    cols = jnp.concatenate(
+        [dec["sigma"], dec["diffuse"], dec["tint"], dec["specular"]], axis=-1
+    )  # [Np, 10]
+    rows = hw.unsort_rows(cols, stream.pidp, stream.inv_full, x.shape[0])
+
+    def as_dec(part, S):
+        return {
+            "sigma": part[:, 0:1].reshape(B, S, 1),
+            "diffuse": part[:, 1:4].reshape(B, S, 3),
+            "tint": part[:, 4:7].reshape(B, S, 3),
+            "specular": part[:, 7:10].reshape(B, S, 3),
+        }
+
+    Nf = B * Sf
+    fg = _composite(as_dec(rows[:Nf], Sf), zfm, dfm, rays_d, vf,
+                    infinity=False, train=train)
+    bg = _composite(as_dec(rows[Nf:], Sb), zbm, dbm, rays_d, vb,
+                    infinity=True, train=train)
+    fg["fore_valid"] = vf
+    bg["bg_valid"] = vb
+    return _compose_fg_bg(fg, bg, rays_o, rays_d, train)
+
+
+def _compose_fg_bg(fg, bg, rays_o, rays_d, train):
+    """fg + T*bg composite (``tile.py:674-686``)."""
     T = fg["T_left"][:, None]
     out = {
         "pred_color": fg["rgb"] + T * bg["rgb"],
@@ -337,6 +414,49 @@ def render_rays(
     if train:
         out["l2_reg_specular"] = fg["l2_reg_specular"] + bg["l2_reg_specular"]
     return out
+
+
+def render_rays(
+    params: FieldParams,
+    state: FieldState,
+    rays_o: jax.Array,
+    rays_d: jax.Array,
+    num_fg_sample: int,
+    num_bg_sample: int,
+    step: jax.Array,
+    occlusion_mask: jax.Array | None = None,
+    train: bool = True,
+    invalid_underground: bool = False,
+    num_march: int = 512,
+    stochastic_grad: bool = False,
+    bg_z: tuple[jax.Array, jax.Array, jax.Array] | None = None,
+    backend: str = "xla",
+) -> dict[str, jax.Array]:
+    """fg + bg composite (``tile.py:639-692``). ``bg_z`` supplies
+    precomputed BS-mode background samples (z, dists, valid).
+
+    backend: "xla" = global prime-XOR hash via XLA gather (reference
+    semantics); "windowed" = merged fg+bg sorted-stream Pallas kernel
+    (hierarchical window hash — the TPU production path)."""
+    if backend == "windowed":
+        return _render_rays_windowed(
+            params, state, rays_o, rays_d, num_fg_sample, num_bg_sample,
+            step, occlusion_mask, train, invalid_underground, num_march,
+            bg_z,
+        )
+    fg = render_fore_rays(
+        params, state, rays_o, rays_d, num_fg_sample, step,
+        occlusion_mask=occlusion_mask, train=train, num_march=num_march,
+        stochastic_grad=stochastic_grad,
+    )
+    bg = render_bg_rays(
+        params, state, rays_o, rays_d, num_bg_sample, step,
+        occlusion_mask=occlusion_mask, train=train,
+        invalid_underground=invalid_underground,
+        stochastic_grad=stochastic_grad,
+        bg_z=bg_z,
+    )
+    return _compose_fg_bg(fg, bg, rays_o, rays_d, train)
 
 
 def compute_normal(

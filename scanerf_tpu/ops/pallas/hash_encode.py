@@ -7,43 +7,50 @@ no fast random gather/scatter, so the table layout itself is changed to
 make the access pattern streamable:
 
 **Hierarchical window hash.** Each level's table of H entries is split
-into ``NW = H / 64`` windows of W=64 entries. A point's window id is a
+into ``NW = H / 512`` windows of W=512 entries. A point's window id is a
 *spatial* raster cell id (coarse grid over the normalized [0,1]^3 tile
 domain, with a piecewise-linear warp that allocates ~42% of windows to
 the foreground inner bbox); the in-window slot is the classic prime-XOR
 hash of the integer corner coordinates, bit-folded and masked to W. The
 expected collision ratio matches the reference's global hash (cells per
 entry is identical); the difference is that all 8 corner lookups of a
-point land in ONE 64-entry window, so a single sort of the points by
-window id turns every (point, level, corner) table access into a
-VMEM-resident window lookup. All 16 levels share the same window
-partition, so one sort per call serves every level.
+point land in ONE 512-entry window — one vreg tile of 8x128 f32 lanes —
+so a single sort of the points by window id turns every (point, level,
+corner) table access into a two-stage in-register ``tpu.dynamic_gather``.
+All 16 levels share the same window partition: one sort per call serves
+every level.
 
-Deviation from the reference (documented in PARITY.md): a lattice corner
-shared by points in different windows resolves to different table
-entries (feature duplication across window boundaries, bounded 8x). This
-adds capacity rather than collisions; quality is validated by PSNR A/B
-against the global-hash XLA path on synthetic scenes.
+Deviation from the reference (PARITY.md): a lattice corner shared by
+points in different windows resolves to different table entries (feature
+duplication across window boundaries, bounded 8x). This adds capacity
+rather than collisions; quality is validated by PSNR A/B against the
+global-hash XLA path on synthetic scenes.
 
-Pipeline per call (N points, L=16 levels, F=2 features):
- 1. window ids + one ``lax.sort`` by wid (payloads: u, point id),
- 2. block-align padding: the stream is re-laid so every 128-point chunk
-    falls inside ONE 64-window block (<= NB*128 pad rows),
- 3. Pallas kernel, grid over 128-point chunks: the current block's
-    table slab (L x 64 windows) is DMA'd into VMEM on block change;
-    per (chunk, level) the 8 corner slots/weights are computed on the
-    VPU and each spanned window is resolved with a one-vreg
-    ``take_along_axis`` LUT gather (tpu.dynamic_gather),
- 4. backward: same structure; the scatter into the table is an exact
-    one-hot ``dot_general`` into a VMEM accumulator slab, flushed to HBM
-    on block change (sequential grid -> no atomics needed, unlike the
-    CUDA atomicAdd backward), plus the analytic dL/dpoints.
+Pipeline per call (N points, L levels, F=2 features):
+ 1. window ids; sort by wid carrying (u, viewdir, point id),
+ 2. pad-align: a second sort lays the stream out so every 1024-point
+    chunk falls inside ONE 32-window block (static +NB*1024 rows),
+ 3. Pallas kernel, grid over chunks: the block's table slab
+    (L x 32 windows) is DMA'd to VMEM on block change; per (chunk,
+    level) the 8 corner slots/weights are computed on the VPU; each
+    spanned window is resolved with two chained one-vreg
+    ``take_along_axis`` gathers (lane then sublane),
+ 4. backward: same structure; the table scatter is an exact one-hot
+    ``dot_general`` into a VMEM accumulator slab flushed on block change
+    (sequential grid -> no atomics, unlike the CUDA atomicAdd backward),
+    plus the analytic dL/dpoints.
+
+Downstream consumers should stay in the sorted stream (run the decoder
+on the padded-sorted features, restore ray order once on its small
+outputs via ``unsort_rows``) — bulk reordering is the expensive
+operation on TPU, not the lookup itself.
 """
 
 from __future__ import annotations
 
 import functools
 
+import flax.struct
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -52,11 +59,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 PRIMES = (1, 2654435761, 805459861)
 
-W = 64  # entries per window
-WB = 64  # windows per block (slab unit)
-CHUNK = 128  # points per grid step
-BLOCK_ENTRIES = W * WB  # 4096 entries per block
-BLOCK_LANES = BLOCK_ENTRIES * 2  # 8192 interleaved f32 lanes per block
+W = 512  # entries per window (one 8x128 f32 vreg of interleaved feats)
+WB = 32  # windows per block (slab unit)
+CHUNK = 1024  # points per grid step
+SUBT = CHUNK // 128  # lane subtiles per chunk
+WIN_SUB = W * 2 // 128  # sublane rows per window (8)
+BLOCK_SUB = WB * WIN_SUB  # sublane rows per block slab (256)
+BLOCK_ENTRIES = W * WB
 
 
 def _interpret() -> bool:
@@ -70,7 +79,7 @@ def _interpret() -> bool:
 @functools.cache
 def geometry(H: int):
     """Window grid for a table of H entries: (NW, NB, (Cx, Cy, Cz))."""
-    assert H >= BLOCK_ENTRIES and (H & (H - 1)) == 0, H
+    assert H >= W * WB and (H & (H - 1)) == 0, H
     NW = H // W
     bits = int(np.log2(NW))
     bx = (bits + 2) // 3
@@ -84,7 +93,7 @@ def expand_warp(u: jax.Array) -> jax.Array:
 
     The fg contraction maps the inner bbox to the center octant
     u in [0.25, 0.75] (1/8 of the volume); the warp stretches it to
-    [0.125, 0.875] per axis so the fg scene detail gets ~42% of the
+    [0.125, 0.875] per axis so fg scene detail gets ~42% of the
     hash-table windows instead of 12.5%.
     """
     lo = u * 0.5
@@ -103,17 +112,17 @@ def window_id(u: jax.Array, H: int) -> jax.Array:
 
 
 def slot_hash(ix, iy, iz):
-    """In-window slot of integer corner coords (uint32 arrays) -> [0, 64).
+    """In-window slot of integer corner coords (uint32 arrays) -> [0, 512).
 
     Prime-XOR hash (``hashgrid_bg_kernel.cu:14-24``) folded over its high
-    bits so the slot does not alias with period 64 per axis.
+    bits so the slot does not alias with period W per axis.
     """
     h = (
         ix * jnp.uint32(PRIMES[0])
         ^ iy * jnp.uint32(PRIMES[1])
         ^ iz * jnp.uint32(PRIMES[2])
     )
-    h = h ^ (h >> jnp.uint32(6)) ^ (h >> jnp.uint32(12))
+    h = h ^ (h >> jnp.uint32(9)) ^ (h >> jnp.uint32(18))
     return h & jnp.uint32(W - 1)
 
 
@@ -166,98 +175,193 @@ def hash_encode_windowed_ref(
 
 
 # ---------------------------------------------------------------------------
-# host-side stream preparation
+# sorted-stream construction (sort_pack) with custom VJP
 # ---------------------------------------------------------------------------
 
+@flax.struct.dataclass
+class SortedStream:
+    """Padded, window-sorted point stream (arrays only; see sort_pack)."""
+
+    pts: jax.Array  # [NC, 8, CHUNK] f32: rows u0 u1 u2 widf d0 d1 d2 0
+    meta: jax.Array  # [NC, 8, 4] i32: (boc, wmin, span, 0) per chunk
+    pidp: jax.Array  # [Np] i32 original point index (N for pad rows)
+    inv_full: jax.Array  # [Np] i32 positions sorted by pidp
+    visited: jax.Array  # [NB] bool block has real points
+
+
 def padded_size(N: int, H: int) -> tuple[int, int]:
-    """Static (Np, NC): stream length after worst-case block alignment."""
+    """Static (Np, NC) after worst-case block alignment."""
     _, NB, _ = geometry(H)
     Np = ((N + CHUNK - 1) // CHUNK) * CHUNK + NB * CHUNK
     return Np, Np // CHUNK
 
 
-def _prepare_stream(points: jax.Array, H: int):
-    """Sort points by window id and block-align the stream.
-
-    Returns dict with:
-      pts   [4, Np] f32: rows (ux, uy, uz, wid-as-f32), padded/aligned
-      meta  [NC, 8, 4] i32: per-chunk (boc, wmin, span, unused)
-      pidp  [Np] i32: original point index per padded row (N = pad)
-      inv   [N] i32: padded position of each original point
-      visited [NB] bool: block has any real points
-    """
-    N = points.shape[0]
+def _sort_pack_impl(x: jax.Array, dirs: jax.Array, H: int):
+    N = x.shape[0]
     NW, NB, _ = geometry(H)
-    u = (points + 2.0) * 0.25
+    Np, NC = padded_size(N, H)
+    u = (x + 2.0) * 0.25
     wid = window_id(u, H)
     pid = jnp.arange(N, dtype=jnp.int32)
 
-    ws, u0s, u1s, u2s, pids = jax.lax.sort(
-        (wid, u[:, 0], u[:, 1], u[:, 2], pid), num_keys=1
+    ws, u0, u1, u2, d0, d1, d2, pids = jax.lax.sort(
+        (wid, u[:, 0], u[:, 1], u[:, 2],
+         dirs[:, 0], dirs[:, 1], dirs[:, 2], pid),
+        num_keys=1,
     )
 
-    # block boundaries in the sorted stream
+    # block boundaries in the sorted stream -> aligned positions
     bounds = jnp.searchsorted(
         ws, jnp.arange(NB + 1, dtype=jnp.int32) * WB, side="left"
-    ).astype(jnp.int32)  # [NB+1]
+    ).astype(jnp.int32)
     pop = bounds[1:] - bounds[:-1]  # [NB]
     padded = ((pop + CHUNK - 1) // CHUNK) * CHUNK
     S = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(padded).astype(jnp.int32)]
-    )  # [NB+1] aligned starts
-
-    # static padded size: worst case every block pads one chunk
-    Np, NC = padded_size(N, H)
-
-    j = jnp.arange(Np, dtype=jnp.int32)
-    b = jnp.clip(
-        jnp.searchsorted(S, j, side="right").astype(jnp.int32) - 1, 0, NB - 1
     )
-    off = j - S[b]
-    valid = off < pop[b]
-    src = jnp.clip(bounds[b] + off, 0, N - 1)
 
-    widp = jnp.where(valid, ws[src], b * WB).astype(jnp.int32)
-    u0p = jnp.where(valid, u0s[src], 0.5)
-    u1p = jnp.where(valid, u1s[src], 0.5)
-    u2p = jnp.where(valid, u2s[src], 0.5)
-    pidp = jnp.where(valid, pids[src], N)
+    # destination position of every real row
+    b_of = jnp.clip(ws // WB, 0, NB - 1)
+    pos_real = pid + (S[b_of] - bounds[b_of])
 
-    pts = jnp.stack([u0p, u1p, u2p, widp.astype(jnp.float32)], axis=0)
+    # pad candidates: CHUNK per block; only (padded-pop) of them valid,
+    # the rest keyed past Np so they land in the (sliced-off) tail.
+    # Tail rows get wid = NW-1 so the tail chunks EXTEND the last block:
+    # block visits must stay monotone or the bwd flush-on-change would
+    # rewrite an earlier block's gradients with zeros.
+    P = Np - N
+    k = jnp.arange(NB * CHUNK, dtype=jnp.int32)
+    bk = k // CHUNK
+    jk = k % CHUNK
+    need = padded[bk] - pop[bk]
+    valid_pad = jk < need
+    pos_pad = jnp.where(valid_pad, S[bk] + pop[bk] + jk, Np + k)
+    wid_pad = jnp.where(valid_pad, bk * WB, NW - 1)
+    extra = P - NB * CHUNK  # 0 <= extra < CHUNK (ceil alignment of N)
+    if extra > 0:
+        pos_pad = jnp.concatenate(
+            [pos_pad, Np + NB * CHUNK + jnp.arange(extra, dtype=jnp.int32)]
+        )
+        wid_pad = jnp.concatenate(
+            [wid_pad, jnp.full((extra,), NW - 1, jnp.int32)]
+        )
 
-    wch = widp.reshape(NC, CHUNK)
-    wmin = jnp.min(wch, axis=1)
-    wmax = jnp.max(wch, axis=1)
-    boc = wmin // WB
-    span = wmax - wmin + 1
-    meta = jnp.stack([boc, wmin, span, jnp.zeros_like(boc)], axis=-1)
-    meta = jnp.broadcast_to(meta[:, None, :], (NC, 8, 4)).astype(jnp.int32)
+    def cat(real, pad_val):
+        padv = jnp.full((P,), pad_val, real.dtype)
+        return jnp.concatenate([real, padv])
 
-    # padded position of each original point (pad rows carry pid = N)
+    pos = jnp.concatenate([pos_real, pos_pad])
+    widf_in = jnp.concatenate(
+        [ws.astype(jnp.float32), wid_pad.astype(jnp.float32)])
+    (_, u0p, u1p, u2p, widfp, d0p, d1p, d2p, pidp) = jax.lax.sort(
+        (pos, cat(u0, 0.5), cat(u1, 0.5), cat(u2, 0.5), widf_in,
+         cat(d0, 0.0), cat(d1, 0.0), cat(d2, 0.0),
+         jnp.concatenate([pids, jnp.full((P,), N, jnp.int32)])),
+        num_keys=1,
+    )
+
+    pts = jnp.stack(
+        [u0p, u1p, u2p, widfp, d0p, d1p, d2p, jnp.zeros_like(u0p)], axis=0
+    ).reshape(8, NC, CHUNK).transpose(1, 0, 2)  # [NC, 8, CHUNK]
+
+    # per-SUBTILE window ranges: row t of meta[c] = (boc, wmin_t, span_t, 0)
+    # for the 128-point lane subtile t (the kernel loops each subtile over
+    # only the windows it actually touches)
+    widp = widfp.astype(jnp.int32).reshape(NC, SUBT, 128)
+    wmin_t = jnp.min(widp, axis=2)  # [NC, 8]
+    wmax_t = jnp.max(widp, axis=2)
+    boc_c = jnp.min(wmin_t, axis=1) // WB  # [NC]
+    meta = jnp.stack(
+        [jnp.broadcast_to(boc_c[:, None], (NC, SUBT)),
+         wmin_t, wmax_t - wmin_t + 1,
+         jnp.zeros_like(wmin_t)], axis=-1
+    ).astype(jnp.int32)
+
     _, inv_full = jax.lax.sort(
-        (pidp, jnp.arange(Np, dtype=jnp.int32)), num_keys=1
+        (pidp, jnp.arange(Np, dtype=jnp.int32)), num_keys=1)
+    return SortedStream(
+        pts=pts, meta=meta, pidp=pidp, inv_full=inv_full, visited=pop > 0
     )
-    return {
-        "pts": pts,
-        "meta": meta,
-        "pidp": pidp,
-        "inv": inv_full[:N],
-        "visited": pop > 0,
-    }
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def sort_pack(x: jax.Array, dirs: jax.Array, H: int) -> SortedStream:
+    """Window-sort + pad-align points (and their viewdirs) for the kernel.
+
+    x [N, 3] in [-2, 2]; dirs [N, 3]. Differentiable in both (the window
+    assignment itself is piecewise-constant, gradient flows through the
+    carried u/dir payloads).
+    """
+    return _sort_pack_impl(x, dirs, H)
+
+
+def _sp_fwd(x, dirs, H):
+    out = _sort_pack_impl(x, dirs, H)
+    return out, (out.pidp, x.shape[0])
+
+
+def _sp_bwd(H, res, g: SortedStream):
+    pidp, N = res
+    gp = g.pts  # [NC, 8, CHUNK] cotangent (float0 for int fields handled)
+    Np = pidp.shape[0]
+    cols = gp.transpose(1, 0, 2).reshape(8, Np)
+    out = jax.lax.sort(
+        (pidp, cols[0], cols[1], cols[2], cols[4], cols[5], cols[6]),
+        num_keys=1,
+    )
+    du = jnp.stack(out[1:4], axis=-1)[:N]
+    ddirs = jnp.stack(out[4:7], axis=-1)[:N]
+    return du * 0.25, ddirs
+
+
+sort_pack.defvjp(_sp_fwd, _sp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# order restoration (unsort_rows) with custom VJP — both directions are
+# explicit lax.sorts; never a scatter, never a row gather
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def unsort_rows(vals, pidp, inv_full, N: int):
+    """Restore original row order of a padded-sorted [Np, D] array -> [N, D]."""
+    D = vals.shape[1]
+    out = jax.lax.sort(
+        (pidp,) + tuple(vals[:, i] for i in range(D)), num_keys=1)
+    return jnp.stack(out[1:], axis=-1)[:N]
+
+
+def _ur_fwd(vals, pidp, inv_full, N):
+    return unsort_rows(vals, pidp, inv_full, N), (pidp, inv_full, vals.shape)
+
+
+def _ur_bwd(N, res, g):
+    pidp, inv_full, shape = res
+    Np, D = shape
+    gz = jnp.concatenate([g, jnp.zeros((Np - N, D), g.dtype)], axis=0)
+    out = jax.lax.sort(
+        (inv_full,) + tuple(gz[:, i] for i in range(D)), num_keys=1)
+    return jnp.stack(out[1:], axis=-1), None, None
+
+
+unsort_rows.defvjp(_ur_fwd, _ur_bwd)
 
 
 # ---------------------------------------------------------------------------
 # kernels
 # ---------------------------------------------------------------------------
 
-def _corner_setup(res_ref, pts_ref, l):
-    """Per (chunk, level): corner slots [8,128] i32 and weights [8,128]."""
+def _corner_setup(res_ref, pts_ref, l, t):
+    """Per (chunk, level, 128-lane subtile): corner slots [8,128] i32,
+    weights [8,128], and weight-derivative factors. All slicing happens
+    on refs (Mosaic cannot dynamic_slice values)."""
+    sl = pl.ds(t * 128, 128)
     rx = res_ref[l, 0].astype(jnp.float32)
     ry = res_ref[l, 1].astype(jnp.float32)
     rz = res_ref[l, 2].astype(jnp.float32)
-    ux = pts_ref[0:1, :]
-    uy = pts_ref[1:2, :]
-    uz = pts_ref[2:3, :]
+    ux = pts_ref[0, 0:1, sl]
+    uy = pts_ref[0, 1:2, sl]
+    uz = pts_ref[0, 2:3, sl]
     vx = ux * (rx - 1.0)
     vy = uy * (ry - 1.0)
     vz = uz * (rz - 1.0)
@@ -278,32 +382,46 @@ def _corner_setup(res_ref, pts_ref, l):
     hy1 = hy0 + jnp.uint32(PRIMES[1])
     hz1 = hz0 + jnp.uint32(PRIMES[2])
 
-    bits = jax.lax.broadcasted_iota(jnp.int32, (8, CHUNK), 0)
-    cx = (bits >> 2) & 1  # x-major corner order (matches the ref impl)
-    cy = (bits >> 1) & 1
-    cz = bits & 1
-    cxb = cx == 1
-    cyb = cy == 1
-    czb = cz == 1
+    bits = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    cxb = ((bits >> 2) & 1) == 1  # x-major corner order (matches ref impl)
+    cyb = ((bits >> 1) & 1) == 1
+    czb = (bits & 1) == 1
 
     def sel(cb, one, zero):
-        return jnp.where(cb, jnp.broadcast_to(one, (8, CHUNK)),
-                         jnp.broadcast_to(zero, (8, CHUNK)))
+        return jnp.where(cb, jnp.broadcast_to(one, (8, 128)),
+                         jnp.broadcast_to(zero, (8, 128)))
 
     h = (
         sel(cxb, hx1, hx0).astype(jnp.uint32)
         ^ sel(cyb, hy1, hy0).astype(jnp.uint32)
         ^ sel(czb, hz1, hz0).astype(jnp.uint32)
     )
-    h = h ^ (h >> jnp.uint32(6)) ^ (h >> jnp.uint32(12))
+    h = h ^ (h >> jnp.uint32(9)) ^ (h >> jnp.uint32(18))
     slot = (h & jnp.uint32(W - 1)).astype(jnp.int32)
 
     wx = sel(cxb, ox, 1.0 - ox)
     wy = sel(cyb, oy, 1.0 - oy)
     wz = sel(czb, oz, 1.0 - oz)
     w8 = wx * wy * wz
-    aux = (ox, oy, oz, wx, wy, wz, cx, cy, cz, rx, ry, rz)
+    sx = jnp.where(cxb, 1.0, -1.0)
+    sy = jnp.where(cyb, 1.0, -1.0)
+    sz = jnp.where(czb, 1.0, -1.0)
+    aux = (wx, wy, wz, sx, sy, sz, rx, ry, rz)
     return slot, w8, aux
+
+
+def _win_gather(win8, flat_c_t):
+    """win8 [8,128] window tile; flat_c_t (1,128) flat lane ids in
+    [0, 1024) -> values (1,128). One one-vreg lane gather
+    (tpu.dynamic_gather) + an 8-way sublane compare-select (a dynamic
+    sublane gather lowers poorly on this Mosaic)."""
+    lane = jnp.broadcast_to(flat_c_t & 127, (8, 128))
+    d = jnp.take_along_axis(win8, lane, axis=1)
+    sub = flat_c_t >> 7
+    e = d[0:1, :]
+    for sidx in range(1, 8):
+        e = jnp.where(sub == sidx, d[sidx:sidx + 1, :], e)
+    return e
 
 
 def _fwd_kernel(res_ref, meta_ref, pts_ref, feat_hbm, out_ref,
@@ -316,49 +434,52 @@ def _fwd_kernel(res_ref, meta_ref, pts_ref, feat_hbm, out_ref,
         prev[0] = -1
 
     boc = meta_ref[0, 0, 0]
-    wmin = meta_ref[0, 0, 1]
-    span = meta_ref[0, 0, 2]
 
     @pl.when(boc != prev[0])
     def _():
         prev[0] = boc
         dma = pltpu.make_async_copy(
-            feat_hbm.at[:, :, pl.ds(boc * BLOCK_LANES, BLOCK_LANES)],
-            slab, sem,
-        )
+            feat_hbm.at[:, pl.ds(boc * BLOCK_SUB, BLOCK_SUB), :], slab, sem)
         dma.start()
         dma.wait()
 
-    widf = pts_ref[3:4, :]
+    wmins = [meta_ref[0, t, 1] for t in range(SUBT)]
+    spans = [meta_ref[0, t, 2] for t in range(SUBT)]
 
     def level_body(l, _):
-        slot, w8, _aux = _corner_setup(res_ref, pts_ref, l)
-        idx0 = slot * 2
+        for t in range(SUBT):  # static: sequencer iteration cost dominates
+            sl = pl.ds(t * 128, 128)
+            slot, w8, _aux = _corner_setup(res_ref, pts_ref, l, t)
+            widf_t = pts_ref[0, 3:4, sl]
+            wmin_t = wmins[t]
+            span_t = spans[t]
 
-        def k_body(k, acc):
-            acc0, acc1 = acc
-            w = wmin + k
-            wl = w - boc * WB
-            win = slab[l, :, pl.ds(wl * 128, 128)]  # (1, 128)
-            winb = jnp.broadcast_to(win, (8, CHUNK))
-            m = (widf == w.astype(jnp.float32)).astype(jnp.float32)
-            f0 = jnp.take_along_axis(winb, idx0, axis=1)
-            f1 = jnp.take_along_axis(winb, idx0 + 1, axis=1)
-            wm = w8 * jnp.broadcast_to(m, (8, CHUNK))
-            acc0 = acc0 + jnp.sum(wm * f0, axis=0, keepdims=True)
-            acc1 = acc1 + jnp.sum(wm * f1, axis=0, keepdims=True)
-            return acc0, acc1
+            def k_body(k, carry, slot=slot, w8=w8, widf_t=widf_t,
+                       wmin_t=wmin_t):
+                s0, s1 = carry
+                w = wmin_t + k
+                wl = w - boc * WB
+                win8 = slab[l, pl.ds(wl * WIN_SUB, WIN_SUB), :]  # (8, 128)
+                mt = (widf_t == w.astype(jnp.float32)).astype(jnp.float32)
+                for cc in range(8):
+                    flat = slot[cc:cc + 1, :] * 2
+                    wmc = w8[cc:cc + 1, :] * mt
+                    s0 = s0 + wmc * _win_gather(win8, flat)
+                    s1 = s1 + wmc * _win_gather(win8, flat + 1)
+                return s0, s1
 
-        zero = jnp.zeros((1, CHUNK), jnp.float32)
-        acc0, acc1 = jax.lax.fori_loop(0, span, k_body, (zero, zero))
-        out_ref[0, l, :, :] = jnp.concatenate([acc0, acc1], axis=0)
+            zero = jnp.zeros((1, 128), jnp.float32)
+            s0, s1 = jax.lax.fori_loop(0, span_t, k_body, (zero, zero))
+            out_ref[0, l, 0:1, sl] = s0
+            out_ref[0, l, 1:2, sl] = s1
         return ()
 
     jax.lax.fori_loop(0, L, level_body, ())
 
 
 def _bwd_kernel(res_ref, meta_ref, pts_ref, g_ref, feat_hbm,
-                dacc_hbm, dpts_ref, slab, daccs, prev, sem_in, sem_out):
+                dacc_hbm, dpts_ref, slab, daccs, dpt, prev,
+                sem_in, sem_out):
     c = pl.program_id(0)
     NC = pl.num_programs(0)
     L = g_ref.shape[1]
@@ -368,14 +489,11 @@ def _bwd_kernel(res_ref, meta_ref, pts_ref, g_ref, feat_hbm,
         prev[0] = -1
 
     boc = meta_ref[0, 0, 0]
-    wmin = meta_ref[0, 0, 1]
-    span = meta_ref[0, 0, 2]
 
     def flush(pb):
         dma = pltpu.make_async_copy(
-            daccs, dacc_hbm.at[:, :, pl.ds(pb * BLOCK_ENTRIES, BLOCK_ENTRIES)],
-            sem_out,
-        )
+            daccs, dacc_hbm.at[:, pl.ds(pb * BLOCK_SUB, BLOCK_SUB), :],
+            sem_out)
         dma.start()
         dma.wait()
 
@@ -388,76 +506,86 @@ def _bwd_kernel(res_ref, meta_ref, pts_ref, g_ref, feat_hbm,
         prev[0] = boc
         daccs[:, :, :] = jnp.zeros_like(daccs)
         dma = pltpu.make_async_copy(
-            feat_hbm.at[:, :, pl.ds(boc * BLOCK_LANES, BLOCK_LANES)],
-            slab, sem_in,
-        )
+            feat_hbm.at[:, pl.ds(boc * BLOCK_SUB, BLOCK_SUB), :],
+            slab, sem_in)
         dma.start()
         dma.wait()
 
-    widf = pts_ref[3:4, :]
-    lane128 = jax.lax.broadcasted_iota(jnp.int32, (128, 8 * CHUNK), 0)
+    dpt[:, :] = jnp.zeros((8, CHUNK), jnp.float32)
+    iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    iota128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
 
-    def level_body(l, du):
-        slot, w8, aux = _corner_setup(res_ref, pts_ref, l)
-        (ox, oy, oz, wx, wy, wz, cx, cy, cz, rx, ry, rz) = aux
-        idx0 = slot * 2
-        g0 = g_ref[0, l, 0:1, :]
-        g1 = g_ref[0, l, 1:2, :]
-        g0b = jnp.broadcast_to(g0, (8, CHUNK))
-        g1b = jnp.broadcast_to(g1, (8, CHUNK))
-        sx = (2 * cx - 1).astype(jnp.float32)
-        sy = (2 * cy - 1).astype(jnp.float32)
-        sz = (2 * cz - 1).astype(jnp.float32)
+    wmins = [meta_ref[0, t, 1] for t in range(SUBT)]
+    spans = [meta_ref[0, t, 2] for t in range(SUBT)]
 
-        def k_body(k, du_k):
-            dux, duy, duz = du_k
-            w = wmin + k
-            wl = w - boc * WB
-            win = slab[l, :, pl.ds(wl * 128, 128)]
-            winb = jnp.broadcast_to(win, (8, CHUNK))
-            m = (widf == w.astype(jnp.float32)).astype(jnp.float32)
-            mb = jnp.broadcast_to(m, (8, CHUNK))
-            wm = w8 * mb
+    def level_body(l, _):
+        for t in range(SUBT):  # static: sequencer iteration cost dominates
+            sl = pl.ds(t * 128, 128)
+            slot, w8, aux = _corner_setup(res_ref, pts_ref, l, t)
+            widf_t = pts_ref[0, 3:4, sl]
+            g0t = g_ref[0, l, 0:1, sl]
+            g1t = g_ref[0, l, 1:2, sl]
+            wmin_t = wmins[t]
+            span_t = spans[t]
 
-            # --- scatter: exact one-hot dot into the accumulator slab ---
-            lidx = (wl & 1) * W + slot  # [8,128] in [0,128)
-            lidx_f = lidx.reshape(1, 8 * CHUNK)
-            # masked queries carry val=0 (wm has the window mask), so the
-            # one-hot itself needs no masking
-            ohf = (
-                lane128 == jnp.broadcast_to(lidx_f, (128, 8 * CHUNK))
-            ).astype(jnp.float32)
-            val0 = (wm * g0b).reshape(1, 8 * CHUNK)
-            val1 = (wm * g1b).reshape(1, 8 * CHUNK)
-            vals = jnp.concatenate([val0, val1], axis=0)  # (2, 1024)
-            dpair = jax.lax.dot_general(
-                vals, ohf,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (2, 128)
-            pair = wl >> 1
-            daccs[l, :, pl.ds(pair * 128, 128)] += dpair
+            def k_body(k, carry, slot=slot, w8=w8, aux=aux, widf_t=widf_t,
+                       g0t=g0t, g1t=g1t, wmin_t=wmin_t):
+                du0, du1, du2 = carry
+                wx, wy, wz, sx, sy, sz, rx, ry, rz = aux
+                w = wmin_t + k
+                wl = w - boc * WB
+                win8 = slab[l, pl.ds(wl * WIN_SUB, WIN_SUB), :]
+                mt = (widf_t == w.astype(jnp.float32)).astype(jnp.float32)
+                dwin = jnp.zeros((8, 128), jnp.float32)
+                for cc in range(8):
+                    flat = slot[cc:cc + 1, :] * 2
+                    lane = flat & 127
+                    sub = flat >> 7
+                    wmc = w8[cc:cc + 1, :] * mt
+                    # scatter: spread to target sublanes, one-hot dot
+                    # over target lanes. f1's lane = f0's lane + 1 in the
+                    # same sublane (f0 lanes are even), so its one-hot is
+                    # the f0 one-hot rolled one row down.
+                    subm = (iota8 == jnp.broadcast_to(sub, (8, 128)))
+                    ohl0 = (iota128 == jnp.broadcast_to(lane, (128, 128))
+                            ).astype(jnp.float32)
+                    ohl1 = pltpu.roll(ohl0, 1, 0)
+                    a0 = jnp.where(subm, jnp.broadcast_to(wmc * g0t, (8, 128)),
+                                   0.0)
+                    a1 = jnp.where(subm, jnp.broadcast_to(wmc * g1t, (8, 128)),
+                                   0.0)
+                    dwin = dwin + jax.lax.dot_general(
+                        a0, ohl0, dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    dwin = dwin + jax.lax.dot_general(
+                        a1, ohl1, dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    # regather for dL/dpoints
+                    f0 = _win_gather(win8, flat)
+                    f1 = _win_gather(win8, flat + 1)
+                    gd = (f0 * g0t + f1 * g1t) * mt  # (1,128)
+                    du0 = du0 + gd * (
+                        sx[cc:cc + 1, :] * wy[cc:cc + 1, :]
+                        * wz[cc:cc + 1, :]) * (rx - 1.0)
+                    du1 = du1 + gd * (
+                        wx[cc:cc + 1, :] * sy[cc:cc + 1, :]
+                        * wz[cc:cc + 1, :]) * (ry - 1.0)
+                    du2 = du2 + gd * (
+                        wx[cc:cc + 1, :] * wy[cc:cc + 1, :]
+                        * sz[cc:cc + 1, :]) * (rz - 1.0)
+                daccs[l, pl.ds(wl * WIN_SUB, WIN_SUB), :] += dwin
+                return du0, du1, du2
 
-            # --- dL/du via regather ---
-            f0 = jnp.take_along_axis(winb, idx0, axis=1)
-            f1 = jnp.take_along_axis(winb, idx0 + 1, axis=1)
-            gdot = (f0 * g0b + f1 * g1b) * mb  # [8,128]
-            dux = dux + jnp.sum(
-                gdot * sx * wy * wz, axis=0, keepdims=True) * (rx - 1.0)
-            duy = duy + jnp.sum(
-                gdot * wx * sy * wz, axis=0, keepdims=True) * (ry - 1.0)
-            duz = duz + jnp.sum(
-                gdot * wx * wy * sz, axis=0, keepdims=True) * (rz - 1.0)
-            return dux, duy, duz
+            zero = jnp.zeros((1, 128), jnp.float32)
+            du0, du1, du2 = jax.lax.fori_loop(
+                0, span_t, k_body, (zero, zero, zero))
+            dpt[0:1, sl] += du0
+            dpt[1:2, sl] += du1
+            dpt[2:3, sl] += du2
+        return ()
 
-        return jax.lax.fori_loop(0, span, k_body, du)
-
-    zero = jnp.zeros((1, CHUNK), jnp.float32)
-    dux, duy, duz = jax.lax.fori_loop(0, L, level_body, (zero, zero, zero))
-    dpts_ref[0:1, :] = dux
-    dpts_ref[1:2, :] = duy
-    dpts_ref[2:3, :] = duz
-    dpts_ref[3:4, :] = jnp.zeros((1, CHUNK), jnp.float32)
+    jax.lax.fori_loop(0, L, level_body, ())
+    dpts_ref[0, :, :] = dpt[:, :]
 
     @pl.when(c == NC - 1)
     def _():
@@ -465,57 +593,51 @@ def _bwd_kernel(res_ref, meta_ref, pts_ref, g_ref, feat_hbm,
 
 
 # ---------------------------------------------------------------------------
-# pallas_call wrappers
+# pallas_call wrappers + custom-VJP lookup on the sorted stream
 # ---------------------------------------------------------------------------
 
-def _features_interleaved(features: jax.Array) -> jax.Array:
-    """[L, H, F=2] -> [L, 1, H*2] (lane = entry*2 + feat)."""
+def _features_tiled(features: jax.Array) -> jax.Array:
+    """[L, H, F=2] -> [L, NW*8, 128]: window-major 8x128 vreg tiles of
+    interleaved (entry, feature) lanes."""
     L, H, F = features.shape
     assert F == 2, "kernel assumes F=2"
-    return features.reshape(L, 1, H * F)
+    return features.reshape(L, H * F // 128, 128)
 
 
-def _run_fwd(prep, features, resolutions):
+def _run_fwd(stream: SortedStream, features, resolutions):
     L, H, F = features.shape
-    Np = prep["pts"].shape[1]
-    NC = Np // CHUNK
-    feat_il = _features_interleaved(features)
+    NC = stream.pts.shape[0]
+    feat_t = _features_tiled(features)
     out = pl.pallas_call(
         _fwd_kernel,
         grid=(NC,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # resolutions [L,3]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # resolutions [L, 3]
             pl.BlockSpec((1, 8, 4), lambda c: (c, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((4, CHUNK), lambda c: (0, c),
+            pl.BlockSpec((1, 8, CHUNK), lambda c: (c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),  # feat_il
+            pl.BlockSpec(memory_space=pl.ANY),  # feat_t
         ],
         out_specs=pl.BlockSpec((1, L, 2, CHUNK), lambda c: (c, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((NC, L, 2, CHUNK), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((L, 1, BLOCK_LANES), jnp.float32),
+            pltpu.VMEM((L, BLOCK_SUB, 128), jnp.float32),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=_interpret(),
-    )(resolutions.astype(jnp.int32), prep["meta"], prep["pts"], feat_il)
-    # [NC, L, 2, 128] -> [Np, L*2]
-    return out.transpose(0, 3, 1, 2).reshape(Np, L * 2)
+    )(resolutions.astype(jnp.int32), stream.meta, stream.pts, feat_t)
+    # [NC, L, 2, CHUNK] -> [Np, L*2]
+    return out.transpose(0, 3, 1, 2).reshape(NC * CHUNK, L * 2)
 
 
-def _run_bwd(prep, features, resolutions, g_orig):
+def _run_bwd(stream: SortedStream, features, resolutions, g_sorted):
     L, H, F = features.shape
-    Np = prep["pts"].shape[1]
-    NC = Np // CHUNK
-    feat_il = _features_interleaved(features)
-
-    g_ext = jnp.concatenate(
-        [g_orig.astype(jnp.float32), jnp.zeros((1, L * 2), jnp.float32)], 0
-    )
-    g_pad = g_ext[prep["pidp"]]  # [Np, 32]
-    g_k = g_pad.reshape(NC, CHUNK, L, 2).transpose(0, 2, 3, 1)
+    NC = stream.pts.shape[0]
+    feat_t = _features_tiled(features)
+    g_k = g_sorted.reshape(NC, CHUNK, L, 2).transpose(0, 2, 3, 1)
 
     dacc, dpts = pl.pallas_call(
         _bwd_kernel,
@@ -524,70 +646,82 @@ def _run_bwd(prep, features, resolutions, g_orig):
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 8, 4), lambda c: (c, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((4, CHUNK), lambda c: (0, c),
+            pl.BlockSpec((1, 8, CHUNK), lambda c: (c, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, L, 2, CHUNK), lambda c: (c, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pl.ANY),  # dacc [L, 2, H]
-            pl.BlockSpec((4, CHUNK), lambda c: (0, c),
+            pl.BlockSpec(memory_space=pl.ANY),  # dacc [L, NW*8, 128]
+            pl.BlockSpec((1, 8, CHUNK), lambda c: (c, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((L, 2, H), jnp.float32),
-            jax.ShapeDtypeStruct((4, Np), jnp.float32),
+            jax.ShapeDtypeStruct(feat_t.shape, jnp.float32),
+            jax.ShapeDtypeStruct((NC, 8, CHUNK), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((L, 1, BLOCK_LANES), jnp.float32),
-            pltpu.VMEM((L, 2, BLOCK_ENTRIES), jnp.float32),
+            pltpu.VMEM((L, BLOCK_SUB, 128), jnp.float32),
+            pltpu.VMEM((L, BLOCK_SUB, 128), jnp.float32),
+            pltpu.VMEM((8, CHUNK), jnp.float32),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=_interpret(),
-    )(resolutions.astype(jnp.int32), prep["meta"], prep["pts"], g_k, feat_il)
+    )(resolutions.astype(jnp.int32), stream.meta, stream.pts, g_k, feat_t)
 
     # unvisited blocks hold junk (never flushed) -> mask them out
-    vis = jnp.repeat(prep["visited"], BLOCK_ENTRIES)  # [H]
-    d_features = jnp.where(
-        vis[None, None, :], dacc, 0.0
-    ).transpose(0, 2, 1)  # [L, H, 2]
+    vis = jnp.repeat(stream.visited, BLOCK_SUB)  # [NW*8]
+    d_features = jnp.where(vis[None, :, None], dacc, 0.0).reshape(L, H, F)
+    return dpts, d_features
 
-    du_pad = dpts[0:3, :].T  # [Np, 3]
-    du = du_pad[prep["inv"]]  # original order
-    d_points = du * 0.25  # d u / d x
-    return d_points, d_features
+
+@jax.custom_vjp
+def hash_lookup_sorted(pts, meta, visited, features, resolutions):
+    """Hash-encode a padded-sorted stream -> feats_sorted [Np, L*F].
+
+    pts/meta/visited come from ``sort_pack`` (pass stream fields, not the
+    struct, so cotangents line up). Differentiable wrt pts (rows 0-2,
+    i.e. dL/du) and features.
+    """
+    stream = SortedStream(pts=pts, meta=meta, pidp=None, inv_full=None,
+                          visited=visited)
+    return _run_fwd(stream, features, resolutions)
+
+
+def _hls_fwd(pts, meta, visited, features, resolutions):
+    out = hash_lookup_sorted(pts, meta, visited, features, resolutions)
+    return out, (pts, meta, visited, features, resolutions)
+
+
+def _hls_bwd(res, g):
+    pts, meta, visited, features, resolutions = res
+    stream = SortedStream(pts=pts, meta=meta, pidp=None, inv_full=None,
+                          visited=visited)
+    dpts, d_features = _run_bwd(stream, features, resolutions, g)
+    return dpts, None, None, d_features, None
+
+
+hash_lookup_sorted.defvjp(_hls_fwd, _hls_bwd)
 
 
 # ---------------------------------------------------------------------------
-# public API
+# drop-in original-order API (tests / simple callers)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=())
 def hash_encode_windowed(points, features, resolutions):
     """Drop-in replacement for ``hash_encode`` using the windowed hash.
 
-    points [N, 3] in [-2, 2]; features [L, H, 2] (H pow2, >= 4096);
-    resolutions [L, 3] int32. Returns [N, L*2] (level-major).
+    points [N, 3] in [-2, 2]; features [L, H, 2] (H pow2 >= 16384);
+    resolutions [L, 3] int32. Returns [N, L*2] in the ORIGINAL order.
+    Prefer sort_pack + hash_lookup_sorted + unsort_rows and keep the
+    decoder in sorted space — the unsort here moves L*F columns.
     """
-    out, _ = _hew_fwd(points, features, resolutions)
-    return out
-
-
-def _hew_fwd(points, features, resolutions):
+    N = points.shape[0]
     H = features.shape[1]
-    prep = _prepare_stream(points, H)
-    feats_pad = _run_fwd(prep, features, resolutions)
-    out = feats_pad[prep["inv"]]
-    return out, (prep, features, resolutions)
-
-
-def _hew_bwd(res, g):
-    prep, features, resolutions = res
-    d_points, d_features = _run_bwd(prep, features, resolutions, g)
-    return d_points, d_features, None
-
-
-hash_encode_windowed.defvjp(_hew_fwd, _hew_bwd)
+    stream = sort_pack(points, jnp.zeros_like(points), H)
+    feats_s = hash_lookup_sorted(
+        stream.pts, stream.meta, stream.visited, features, resolutions)
+    return unsort_rows(feats_s, stream.pidp, stream.inv_full, N)

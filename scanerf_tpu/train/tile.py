@@ -82,6 +82,9 @@ class TrainConfig:
     # zero-grad entries are fully skipped — cuda/adam_kernel.cu:46-51).
     # Off by default for parity with the shipped trainer's dense Adam.
     sparse_adam: bool = False
+    # "xla" = global prime-XOR hash via XLA gather (reference semantics);
+    # "windowed" = merged fg+bg sorted-stream Pallas kernel (TPU prod path)
+    hash_backend: str = "xla"
 
     @classmethod
     def from_cfg(cls, cfg) -> "TrainConfig":
@@ -113,6 +116,7 @@ class TrainConfig:
             eta_cam=T.ETA.CAM,
             cam_enable=T.CAMOPT.ENABLE,
             cam_start_steps=T.CAMOPT.START_STEPS,
+            hash_backend=T.get("HASH_BACKEND", "xla"),
         )
 
 
@@ -289,6 +293,7 @@ def compute_losses(
         num_march=tc.num_march,
         stochastic_grad=tc.stochastic_hash_grad,
         bg_z=bg_z,
+        backend=tc.hash_backend,
     )
     valid = out["fore_valid"] | out["bg_valid"]
 
@@ -382,6 +387,7 @@ def _warp_loss(params, field_state, data, out, gt_color, valid, stepf, tc):
         tc.num_sample, tc.num_bg_sample, stepf,
         train=False, invalid_underground=tc.invalid_underground,
         num_march=tc.num_march,
+        backend=tc.hash_backend,
     )
     # voxel size = max(tile_size / finest hash resolution) (warp_loss.py:150)
     voxel = jnp.max(
@@ -480,6 +486,7 @@ def render_chunk(params, field_state, rays_o, rays_d, step, tc: TrainConfig):
         tc.num_sample, tc.num_bg_sample, step.astype(jnp.float32),
         train=False, invalid_underground=tc.invalid_underground,
         num_march=tc.num_march,
+        backend=tc.hash_backend,
     )
 
 

@@ -13,7 +13,7 @@ import pytest
 from scanerf_tpu.ops.pallas import hash_encode as hw
 
 L = 4
-H = 4096  # minimum table: one block
+H = 16384  # minimum table: one block (W=512 x WB=32)
 
 
 def _make_inputs(key, n_points, h=H, levels=L, spread=2.0):
@@ -38,10 +38,10 @@ def test_forward_parity():
 
 
 def test_forward_parity_multiblock():
-    # H=16384 -> 4 blocks; clustered + uniform points exercise dense and
+    # H=65536 -> 4 blocks; clustered + uniform points exercise dense and
     # sparse blocks, block changes, and empty blocks
     key = jax.random.PRNGKey(1)
-    pts, feats, res = _make_inputs(key, 700, h=16384)
+    pts, feats, res = _make_inputs(key, 700, h=65536)
     cluster = 0.01 * jax.random.normal(key, (500, 3)) + 1.3
     pts = jnp.concatenate([pts[:200], cluster], axis=0)
     out_k = hw.hash_encode_windowed(pts, feats, res)
@@ -70,7 +70,7 @@ def test_backward_parity():
 
 def test_backward_parity_multiblock():
     key = jax.random.PRNGKey(4)
-    pts, feats, res = _make_inputs(key, 900, h=16384)
+    pts, feats, res = _make_inputs(key, 900, h=65536)
     tang = jax.random.normal(jax.random.PRNGKey(5), (900, L * 2))
 
     def loss_k(p, f):
@@ -94,7 +94,7 @@ def test_window_id_range():
     u = (pts + 2.0) * 0.25
     wid = hw.window_id(u, H)
     NW, NB, dims = hw.geometry(H)
-    assert NW == 64 and NB == 1
+    assert NW == 32 and NB == 1
     assert (np.asarray(wid) >= 0).all() and (np.asarray(wid) < NW).all()
 
 
