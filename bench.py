@@ -36,6 +36,11 @@ def main():
         batch_log2=14,
         total_step=40000,
         num_march=512,
+        # the sorted-stream Pallas kernel path (exact gradients); the
+        # round-1 number (2322 rays/s) was hash_backend="xla" with the
+        # stochastic-corner estimator
+        hash_backend="windowed",
+        stochastic_hash_grad=False,
     )
     params, fstate = field_lib.create_field(
         jax.random.PRNGKey(0),

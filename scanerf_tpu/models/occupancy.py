@@ -101,27 +101,43 @@ def prune_occupancy(
 
 
 class PruningSchedule:
-    """Tracks the GRID_LOG2DIM / PRUNING_TH ladder (tile.py:866-877):
-    at every ADJUST_STEP, step to the next log2dim (sub-split when it
-    increases) with the matching threshold (last threshold reused)."""
+    """GRID_LOG2DIM / PRUNING_TH ladder, mirroring ``tile.py:866-877``:
+    a pruning event fires at every ADJUST_STEP multiple inside the
+    dynamic window [0, TOTAL_STEP - 10000] (``tile.py:62-65``); the
+    target log2dim and threshold are both indexed by
+    ``step // ADJUST_STEP`` clamped to the last list entry."""
 
-    def __init__(self, grid_log2dims: list[int], pruning_ths: list[float], adjust_step: int):
+    def __init__(
+        self,
+        grid_log2dims: list[int],
+        pruning_ths: list[float],
+        adjust_step: int,
+        total_step: int | None = None,
+    ):
         self.log2dims = list(grid_log2dims)
         self.ths = list(pruning_ths)
         self.adjust_step = adjust_step
-        self.stage = 0  # index of the CURRENT log2dim
+        # dynamic_end = TOTAL_STEP - 10000 (tile.py:64); None = no cap
+        self.dynamic_end = total_step - 10000 if total_step else None
+        self._last_log2dim = self.log2dims[0]
 
     def should_prune(self, step: int) -> bool:
         if step == 0 or step % self.adjust_step != 0:
             return False
-        return self.stage + 1 < len(self.log2dims) or True  # keep refreshing
+        if self.dynamic_end is not None and step > self.dynamic_end:
+            return False
+        return True
 
-    def next(self) -> tuple[bool, float]:
-        """(sub_split, threshold) for this pruning event; advances stage."""
-        if self.stage + 1 < len(self.log2dims):
-            sub_split = self.log2dims[self.stage + 1] > self.log2dims[self.stage]
-            self.stage += 1
-        else:
-            sub_split = False
-        th = self.ths[min(self.stage - 1, len(self.ths) - 1)] if self.stage > 0 else self.ths[0]
+    def params_at(self, step: int) -> tuple[int, float]:
+        """(log2dim, threshold) of the event at ``step`` (tile.py:869-872)."""
+        i = min(step // self.adjust_step, len(self.log2dims) - 1)
+        j = min(step // self.adjust_step, len(self.ths) - 1)
+        return self.log2dims[i], self.ths[j]
+
+    def next_at(self, step: int) -> tuple[bool, float]:
+        """(sub_split, threshold) for this event; remembers the rung so
+        sub_split is True exactly when the grid resolution increases."""
+        log2dim, th = self.params_at(step)
+        sub_split = log2dim > self._last_log2dim
+        self._last_log2dim = log2dim
         return sub_split, th

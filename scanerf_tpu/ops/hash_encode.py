@@ -18,8 +18,14 @@ reference derives them from the tile bbox aspect (``hashgrid/__init__.py:
 The forward is a batched gather; the backward (via JAX autodiff) becomes a
 scatter-add into the table — exactly the semantics of the CUDA backward
 kernel's atomicAdd (``hashgrid_bg_kernel.cu:195-222``), including the
-analytic dL/dpoints path. A Pallas TPU kernel with a custom VJP lives in
-``scanerf_tpu.ops.pallas.hash_encode`` and is numerically interchangeable.
+analytic dL/dpoints path.
+
+This module is the "xla" backend (exact reference hash). The TPU
+production path is ``scanerf_tpu.ops.pallas.hash_encode``: a sorted-stream
+Pallas kernel over a *hierarchical window* variant of this hash (same
+collision ratio, different table layout — NOT numerically interchangeable
+with the global prime-XOR indexing here; see that module's docstring and
+PARITY.md).
 """
 
 from __future__ import annotations

@@ -107,6 +107,7 @@ class Trainer:
             list(cfg.TRAINING.GRID_LOG2DIM),
             list(cfg.TRAINING.PRUNING_TH),
             cfg.TRAINING.ADJUST_STEP,
+            total_step=cfg.TRAINING.TOTAL_STEP,
         )
         self._build_tiles()
 
@@ -306,7 +307,7 @@ class Trainer:
     def _prune(self, tiles, mesh, syn, step):
         """Re-derive every tile's occupancy; rebuild the round fn (the
         grid is a static shape)."""
-        sub_split, th = self.pruning.next()
+        sub_split, th = self.pruning.next_at(step)
         states = _unstack(tiles.state, len(self.tile_idxs))
         new_states = []
         for i, s in enumerate(states):
@@ -518,6 +519,12 @@ def _pad_data_cams(data: TileData, max_cams: int) -> TileData:
         cameras=cams,
         mono_depths=padx(data.mono_depths),
         mono_normals=padx(data.mono_normals),
+        # BS-mode mesh background depths must pad too: dropping the field
+        # crashes jnp.stack over tiles with unequal camera counts (some
+        # tiles None, some arrays) or silently falls back to IZ sampling
+        bg_depths=(
+            padx(data.bg_depths) if data.bg_depths is not None else None
+        ),
     )
 
 

@@ -68,11 +68,39 @@ def test_pruning_schedule():
     assert not s.should_prune(0)
     assert not s.should_prune(50)
     assert s.should_prune(100)
-    sub, th = s.next()
-    assert sub and th == 0.1
-    sub, th = s.next()
+    # step 100 -> index 1 of the ladder (step // ADJUST_STEP), split 4->5
+    sub, th = s.next_at(100)
     assert sub and th == 0.2
-    sub, th = s.next()
+    sub, th = s.next_at(200)
     assert sub and th == 0.3
-    sub, th = s.next()  # past the ladder: refresh without split
+    sub, th = s.next_at(300)
+    assert sub and th == 0.3  # th clamps to last
+    sub, th = s.next_at(400)  # past the ladder: refresh without split
     assert not sub and th == 0.3
+
+
+def test_pruning_schedule_golden_vs_reference():
+    """Golden ladder vs a direct transcription of tile.py:62-65,866-877."""
+    log2dims = [4, 5, 6, 7, 8, 9]
+    ths = [0.1, 0.2, 0.3, 0.4]
+    adjust, total = 2000, 40000
+    s = occupancy.PruningSchedule(log2dims, ths, adjust, total_step=total)
+
+    events = []
+    for step in range(total + 1):
+        if s.should_prune(step):
+            events.append((step,) + s.params_at(step))
+
+    # reference: fires when 0 <= step <= TOTAL-10000 and step % 5000-ish
+    # (we use ADJUST_STEP as the cadence, which the reference also passes
+    # to pruning_grid); ladder indices are step // ADJUST_STEP clamped
+    ref = []
+    for step in range(total + 1):
+        if step == 0 or step % adjust != 0 or step > total - 10000:
+            continue
+        i = min(step // adjust, len(log2dims) - 1)
+        j = min(step // adjust, len(ths) - 1)
+        ref.append((step, log2dims[i], ths[j]))
+    assert events == ref
+    assert events[0] == (2000, 5, 0.2)
+    assert events[-1] == (30000, 9, 0.4)

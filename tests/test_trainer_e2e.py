@@ -95,3 +95,31 @@ def test_build_tiles(tmp_path):
     assert os.path.exists(os.path.join(datadir, "tiles", "tiles.obj"))
     for t, views in out["views"].items():
         assert len(views) >= 2
+
+
+@pytest.mark.slow
+def test_bs_mode_unequal_camera_counts(tmp_path):
+    """BS-mode multi-tile run where tiles have UNEQUAL camera counts.
+
+    Regression for the _pad_data_cams bug that dropped bg_depths when
+    padding tiles to the max camera count: the stacked pytree then mixed
+    None with arrays (crash at jnp.stack) or silently fell back to IZ
+    sampling (tile.py:272 behavior).
+    """
+    datadir = str(tmp_path / "scene_bs")
+    write_scene_dir(datadir, n_cameras=6, H=24, W=24, n_tiles=2,
+                    unequal_views=True)
+    cfg = tiny_cfg(datadir, total=3)
+    cfg.TRAINING.BG_MODE = "BS"
+
+    from scanerf_tpu.train.trainer import Trainer
+
+    trainer = Trainer(cfg)
+    # the padded tile must carry mesh bg depths (not None, not zeros-only)
+    for td in trainer.datas:
+        assert td.bg_depths is not None
+    assert trainer.datas[0].images.shape[0] == trainer.datas[1].images.shape[0]
+    tiles = trainer.run()
+    assert int(tiles.state.step[0]) == 3
+    log = open(os.path.join(trainer.logdir, "training.log")).read()
+    assert "nan" not in log.lower()
