@@ -5,9 +5,17 @@ per step, 128 fg + 128 bg samples per ray, 16x2 hash features. The hash
 table is 2^21 per level here (fits one chip with Adam moments alongside the
 other state; the reference default 2^24 is a multi-chip configuration).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
-vs_baseline is value / 5e6 (the 5M rays/sec v4-8 north-star from
-BASELINE.md).
+Two configurations are measured (VERDICT round-1 item 3):
+
+- **full recipe** (the headline): the reference's default LOSS block —
+  WARP 1.0 (K=10 neighbor visibility re-render), DEPTH 0.01, SMOOTH
+  0.001, RHO 100 (``/root/reference/config/default.yaml``),
+- **rgb-only**: photometric-only training (w_warp=w_depth=w_smooth=rho=0),
+  the round-1 configuration, kept for cross-round comparability.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}
+where value is the FULL-RECIPE rays/sec and vs_baseline is value / 5e6
+(the 5M rays/sec v4-8 north-star from BASELINE.md).
 """
 
 from __future__ import annotations
@@ -18,15 +26,15 @@ import time
 import numpy as np
 
 
-def main():
+def build(tc_kwargs):
     import jax
     import jax.numpy as jnp
 
-    from scanerf_tpu.data.synthetic import make_sphere_dataset
     from scanerf_tpu.models import field as field_lib
     from scanerf_tpu.train import cameras as cam_lib
     from scanerf_tpu.train import tile as tile_lib
     from scanerf_tpu.train.tile import TileData, TrainConfig
+    from scanerf_tpu.data.synthetic import make_sphere_dataset
 
     n_cameras, H, W = 16, 256, 256
     images, depths, ks, c2ws = make_sphere_dataset(n_cameras, H, W)
@@ -41,6 +49,7 @@ def main():
         # stochastic-corner estimator
         hash_backend="windowed",
         stochastic_hash_grad=False,
+        **tc_kwargs,
     )
     params, fstate = field_lib.create_field(
         jax.random.PRNGKey(0),
@@ -59,10 +68,19 @@ def main():
         mono_normals=jnp.zeros((*images.shape[:3], 3)),
     )
     tx = tile_lib.build_optimizer(tc)
+    return state, data, tc, tx
 
-    key = jax.random.PRNGKey(0)
+
+def measure(tc_kwargs, n_steps=10):
+    import jax
+
+    from scanerf_tpu.train import tile as tile_lib
+
+    state, data, tc, tx = build(tc_kwargs)
+    n_cameras = data.images.shape[0]
     rays_per_step = (2**tc.batch_log2 // n_cameras) // 4 * 4 * n_cameras
 
+    key = jax.random.PRNGKey(0)
     # warmup + compile; NOTE: on the axon tunnel block_until_ready can
     # return before remote execution completes — force host fetches
     for i in range(3):
@@ -70,22 +88,32 @@ def main():
         state, aux = tile_lib.train_step(state, data, sub, tc, tx)
     _ = float(aux["total_loss"])
 
-    n_steps = 10
     t0 = time.perf_counter()
     for i in range(n_steps):
         key, sub = jax.random.split(key)
         state, aux = tile_lib.train_step(state, data, sub, tc, tx)
     _ = float(aux["total_loss"])  # forces the whole dependency chain
     dt = time.perf_counter() - t0
+    return rays_per_step * n_steps / dt
 
-    rays_per_sec = rays_per_step * n_steps / dt
+
+def main():
+    rgb_only = measure(
+        dict(w_warp=0.0, w_depth=0.0, w_smooth=0.0, rho=0.0)
+    )
+    # reference config/default.yaml LOSS block + RHO
+    full = measure(
+        dict(w_warp=1.0, w_depth=0.01, w_smooth=0.001, rho=100.0,
+             warp_start=0)
+    )
     print(
         json.dumps(
             {
-                "metric": "training_rays_per_sec",
-                "value": round(rays_per_sec, 1),
+                "metric": "training_rays_per_sec_full_recipe",
+                "value": round(full, 1),
                 "unit": "rays/s",
-                "vs_baseline": round(rays_per_sec / 5e6, 4),
+                "vs_baseline": round(full / 5e6, 4),
+                "rgb_only_rays_per_sec": round(rgb_only, 1),
             }
         )
     )
@@ -93,3 +121,5 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+

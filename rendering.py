@@ -58,8 +58,11 @@ def main():
         ks, c2ws, H, W = data_io.read_campara(cam_log, return_shape=True)
         gt_dir = os.path.join(cfg.DATADIR, "images")
 
+    from scanerf_tpu.eval.lpips import LPIPSMetric
+
+    lp = LPIPSMetric()
     end = end if end is not None else len(ks)
-    times, psnrs, ssims = [], [], []
+    times, psnrs, ssims, lpipss = [], [], [], []
     metric_path = os.path.join(out_dir, "metric.txt")
     for i in range(start, end):
         t0 = time.time()
@@ -68,6 +71,7 @@ def main():
             num_sample=cfg.TRAINING.NUM_SAMPLE,
             num_bg_sample=cfg.TRAINING.NUM_BG_SAMPLE,
             invalid_underground=bool(cfg.INVALID_UNDERGROUND),
+            sharded=True,  # spreads rays over all local devices (no-op on 1)
         )
         times.append(time.time() - t0)
         img = (np.clip(out["rgb"], 0, 1) * 255).astype(np.uint8)
@@ -80,14 +84,27 @@ def main():
                 s = float(metrics.ssim(jnp.asarray(out["rgb"]), jnp.asarray(gt)))
                 psnrs.append(p)
                 ssims.append(s)
+                line = f"{i}\tPSNR {p:.4f}\tSSIM {s:.4f}"
+                if lp.available:
+                    v = lp(out["rgb"], gt[..., ::-1])  # gt is BGR
+                    lpipss.append(v)
+                    line += f"\tLPIPS {v:.4f}"
                 with open(metric_path, "a") as f:
-                    f.write(f"{i}\tPSNR {p:.4f}\tSSIM {s:.4f}\n")
+                    f.write(line + "\n")
         print(f"frame {i}: {times[-1]*1000:.1f} ms")
     if psnrs:
+        line = f"mean\tPSNR {np.mean(psnrs):.4f}\tSSIM {np.mean(ssims):.4f}"
+        if lpipss:
+            line += f"\tLPIPS {np.mean(lpipss):.4f}"
         with open(metric_path, "a") as f:
-            f.write(
-                f"mean\tPSNR {np.mean(psnrs):.4f}\tSSIM {np.mean(ssims):.4f}\n"
-            )
+            f.write(line + "\n")
+    if mode == "DEMO" and end - start > 1:
+        # assemble the novel-path video (tools/tools.py:240-247)
+        from scanerf_tpu.utils import media
+
+        frames = media.frames_from_dir(out_dir)
+        media.generate_video(os.path.join(out_dir, "demo.mp4"), frames)
+        print(f"wrote {os.path.join(out_dir, 'demo.mp4')}")
     print(f"mean render time: {np.mean(times)*1000:.1f} ms")
 
 

@@ -1,8 +1,8 @@
-"""Offline PSNR/SSIM evaluation over prediction/GT image directories.
+"""Offline PSNR/SSIM/LPIPS evaluation over prediction/GT image dirs.
 
 Rebuild of ``postprocess/evaluation.py``: pairs images by filename, PSNR
-at 255 scale + SSIM, prints per-image and mean values (LPIPS hook kept
-optional — the reference's import is commented out too, :5).
+at 255 scale + SSIM. LPIPS (the reference's commented-out hook, :5) is
+reported when weights are available — see ``scanerf_tpu.eval.lpips``.
 """
 
 from __future__ import annotations
@@ -17,12 +17,14 @@ def evaluate_dirs(pred_dir: str, gt_dir: str) -> dict:
     import cv2
     import jax.numpy as jnp
 
+    from scanerf_tpu.eval.lpips import LPIPSMetric
     from scanerf_tpu.utils import metrics
 
+    lp = LPIPSMetric()
     names = sorted(
         f for f in os.listdir(pred_dir) if f.lower().endswith((".png", ".jpg"))
     )
-    psnrs, ssims = [], []
+    psnrs, ssims, lpipss = [], [], []
     for name in names:
         gt_path = os.path.join(gt_dir, name)
         if not os.path.exists(gt_path):
@@ -33,13 +35,22 @@ def evaluate_dirs(pred_dir: str, gt_dir: str) -> dict:
         s = float(metrics.ssim(jnp.asarray(pred), jnp.asarray(gt)))
         psnrs.append(p)
         ssims.append(s)
-        print(f"{name}\tPSNR {p:.4f}\tSSIM {s:.4f}")
+        line = f"{name}\tPSNR {p:.4f}\tSSIM {s:.4f}"
+        if lp.available:
+            v = lp(pred[..., ::-1], gt[..., ::-1])  # BGR -> RGB
+            lpipss.append(v)
+            line += f"\tLPIPS {v:.4f}"
+        print(line)
     result = {
         "psnr": float(np.mean(psnrs)) if psnrs else float("nan"),
         "ssim": float(np.mean(ssims)) if ssims else float("nan"),
+        "lpips": float(np.mean(lpipss)) if lpipss else float("nan"),
         "count": len(psnrs),
     }
-    print(f"mean\tPSNR {result['psnr']:.4f}\tSSIM {result['ssim']:.4f}")
+    line = f"mean\tPSNR {result['psnr']:.4f}\tSSIM {result['ssim']:.4f}"
+    if lpipss:
+        line += f"\tLPIPS {result['lpips']:.4f}"
+    print(line)
     return result
 
 

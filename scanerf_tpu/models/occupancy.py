@@ -102,10 +102,11 @@ def prune_occupancy(
 
 class PruningSchedule:
     """GRID_LOG2DIM / PRUNING_TH ladder, mirroring ``tile.py:866-877``:
-    a pruning event fires at every ADJUST_STEP multiple inside the
-    dynamic window [0, TOTAL_STEP - 10000] (``tile.py:62-65``); the
-    target log2dim and threshold are both indexed by
-    ``step // ADJUST_STEP`` clamped to the last list entry."""
+    a pruning event fires at every ``dynamic_step`` (hard-coded 5000,
+    ``tile.py:65``) multiple inside the window [dynamic_start=0,
+    TOTAL_STEP - 10000] (``tile.py:62-64``, end inclusive); the target
+    log2dim and threshold are indexed by ``step // ADJUST_STEP``, each
+    clamped to its own last list entry (``tile.py:869-872``)."""
 
     def __init__(
         self,
@@ -113,16 +114,18 @@ class PruningSchedule:
         pruning_ths: list[float],
         adjust_step: int,
         total_step: int | None = None,
+        dynamic_step: int = 5000,
     ):
         self.log2dims = list(grid_log2dims)
         self.ths = list(pruning_ths)
         self.adjust_step = adjust_step
+        self.dynamic_step = dynamic_step
         # dynamic_end = TOTAL_STEP - 10000 (tile.py:64); None = no cap
         self.dynamic_end = total_step - 10000 if total_step else None
         self._last_log2dim = self.log2dims[0]
 
     def should_prune(self, step: int) -> bool:
-        if step == 0 or step % self.adjust_step != 0:
+        if step == 0 or step % self.dynamic_step != 0:
             return False
         if self.dynamic_end is not None and step > self.dynamic_end:
             return False

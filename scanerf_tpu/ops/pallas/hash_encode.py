@@ -189,19 +189,34 @@ class SortedStream:
     visited: jax.Array  # [NB] bool block has real points
 
 
-def padded_size(N: int, H: int) -> tuple[int, int]:
+def padded_size(N: int, H: int, n_tables: int = 1) -> tuple[int, int]:
     """Static (Np, NC) after worst-case block alignment."""
     _, NB, _ = geometry(H)
+    NB *= n_tables
     Np = ((N + CHUNK - 1) // CHUNK) * CHUNK + NB * CHUNK
     return Np, Np // CHUNK
 
 
-def _sort_pack_impl(x: jax.Array, dirs: jax.Array, H: int):
+def _sort_pack_impl(
+    x: jax.Array,
+    dirs: jax.Array,
+    H: int,
+    tids: jax.Array | None = None,
+    n_tables: int = 1,
+):
+    """tids (optional) [N] int32: per-point table index for multi-table
+    streams (the multi-tile renderer). Window ids become
+    ``tid * NW + wid``; tile boundaries then coincide with block
+    boundaries (NW % WB == 0), so every CHUNK stays within one tile's
+    table slab and the kernel needs no changes."""
     N = x.shape[0]
     NW, NB, _ = geometry(H)
-    Np, NC = padded_size(N, H)
+    NW, NB = NW * n_tables, NB * n_tables
+    Np, NC = padded_size(N, H, n_tables)
     u = (x + 2.0) * 0.25
     wid = window_id(u, H)
+    if tids is not None:
+        wid = wid + tids.astype(jnp.int32) * (NW // n_tables)
     pid = jnp.arange(N, dtype=jnp.int32)
 
     ws, u0, u1, u2, d0, d1, d2, pids = jax.lax.sort(
@@ -315,6 +330,21 @@ def _sp_bwd(H, res, g: SortedStream):
 
 
 sort_pack.defvjp(_sp_fwd, _sp_bwd)
+
+
+def sort_pack_tables(
+    x: jax.Array,
+    dirs: jax.Array,
+    tids: jax.Array,
+    H: int,
+    n_tables: int,
+) -> SortedStream:
+    """Multi-table window-sort: points carry a per-point table index
+    (tile id) and land in window ``tid*NW + wid`` of a concatenated
+    feature stack [L, n_tables*H, F]. Forward-only (inference path —
+    the multi-tile renderer); use ``sort_pack`` for the training path.
+    """
+    return _sort_pack_impl(x, dirs, H, tids=tids, n_tables=n_tables)
 
 
 # ---------------------------------------------------------------------------

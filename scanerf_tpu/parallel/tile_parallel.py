@@ -87,9 +87,8 @@ def build_admm_round(
             new_conf = 0.9 * conf + 0.1 * aux["confidence_score"]
             return new_state, aux["total_loss"], new_conf
 
-        pv = lambda x: jax.lax.pcast(x, ("tiles",), to="varying")
         state, last_loss, conf = jax.lax.fori_loop(
-            0, n_inner, body, (state, pv(jnp.asarray(0.0)), conf0)
+            0, n_inner, body, (state, jnp.asarray(0.0), conf0)
         )
         return state, last_loss, conf
 
@@ -99,9 +98,24 @@ def build_admm_round(
         tile_ids = jax.lax.axis_index("tiles") * T_local + jnp.arange(T_local)
         keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(tile_ids)
 
-        new_state, losses, conf = jax.vmap(one_tile_steps)(
-            tiles.state, data, keys, tiles.confidence
+        # >1 tile per device runs SEQUENTIALLY (static unroll), exactly
+        # like the reference time-slices tiles on one GPU
+        # (admm_trainer.py:238-250) — and unlike vmap this keeps the
+        # windowed hash pallas_call unbatched (its ANY-space feature
+        # operand cannot carry a leading batch dim on TPU)
+        pick = lambda tree, t: jax.tree_util.tree_map(lambda x: x[t], tree)
+        outs = [
+            one_tile_steps(
+                pick(tiles.state, t), pick(data, t), keys[t],
+                tiles.confidence[t],
+            )
+            for t in range(T_local)
+        ]
+        new_state = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *[o[0] for o in outs]
         )
+        losses = jnp.stack([o[1] for o in outs])
+        conf = jnp.stack([o[2] for o in outs])
         if update_confidence:
             tiles = tiles.replace(confidence=conf)
 
@@ -130,6 +144,10 @@ def build_admm_round(
         mesh=mesh,
         in_specs=(P("tiles"), P("tiles"), P()),
         out_specs=(P("tiles"), P("tiles"), P()),
+        # pallas_call inside shard_map cannot express varying-mesh-axes
+        # metadata on its out_shape (jax #pallas_call vma limitation) —
+        # disable the check; correctness is covered by the parity tests
+        check_vma=False,
     )
     return jax.jit(sharded)
 

@@ -1,28 +1,41 @@
 """Multi-tile inference renderer.
 
 Rebuild of the standalone renderer (``rendering.py`` +
-``hashgrid/src/rendering_kernel.cu``). Staged-jit design (SURVEY.md §7.1):
-the CUDA version's resumable per-tile DDA marching + fused hash/MLP
-megakernel is replaced by
+``hashgrid/src/rendering_kernel.cu``). Two backends behind one
+``render_rays`` API:
+
+**Staged** (``backend="xla"``): per-tile unrolled evaluation — the parity
+oracle. **Windowed** (``backend="windowed"``, default when the tiles were
+trained with the windowed hash layout): the TPU production path — the
+per-sample work is capped at ``MAX_PTS_BLOCKS=4`` containing tiles
+(``prepare_points``, rendering_kernel.cu:390-449), all (sample, tile)
+slots of the fg AND bg passes are merged into ONE sorted stream through
+the Pallas windowed hash kernel (``ops/pallas/hash_encode.py``), and the
+ShallowMLP decoder runs in the sorted stream as per-chunk batched MXU
+matmuls (each 1024-sample chunk lies inside one tile because tile
+boundaries coincide with window-block boundaries, so its decoder params
+are a single gather per chunk). This replaces the reference's fused
+``pts_inference`` megakernel (rendering_kernel.cu:466-621).
+
+Shared semantics in both backends:
 
 1. a single occupancy-proportional sampling pass over the UNION of tile
    occupancies (the reference instead marches tiles in sorted order with
    a carried ``tracing_idx``/``z_start`` — equivalent sample placement,
    since ``process_occupied_grid`` already unions occupancy across
    overlapping tiles; our sampler queries the union directly),
-2. per-sample evaluation under every containing tile with the reference's
-   seam-blend weights (distance-to-boundary in x/z, y ignored —
-   rendering_kernel.cu:526-537), normalized by the total weight including
-   empty-tile contributions (:556-566),
+2. per-sample seam-blend weights (distance-to-boundary in x/z, y ignored
+   — rendering_kernel.cu:526-537), normalized by the total weight
+   including empty-tile contributions (:556-566),
 3. front-to-back compositing with persistent transparency
    (``accumulate_color`` :623-702),
-4. an inverse-z background pass from the exit tile's (doubled) bbox with
-   the L-infinity contraction, blended over exit tiles
-   (``update_outgoing_bidx_v2`` :1262-1476, ``bg_pts_inference_v2``).
-
-Tile evaluation is an unrolled loop over tiles (static T) — masked, so
-XLA batches all hash+MLP work per tile on the MXU. A fused Pallas
-sample->encode->decode kernel replaces stage 2 later (PERF.md).
+4. multi-exit-tile background blending (``update_outgoing_bidx``
+   :1262-1380 with skip=False as called from rendering.py:443-444):
+   walk tiles in entry order tracking the running max exit ``far``
+   (break on a disconnected gap), collect the <=4 tiles whose exit
+   equals ``far``, weight each by the x/z boundary distance of the
+   outgoing point, composite each tile's inverse-z background
+   separately and blend the composited colors.
 """
 
 from __future__ import annotations
@@ -35,10 +48,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from scanerf_tpu.models import decoder as decoder_lib
-from scanerf_tpu.ops import integrate
 from scanerf_tpu.ops.hash_encode import hash_encode
 from scanerf_tpu.ops.intersect import ray_aabb_multi
 from scanerf_tpu.train.checkpoint import load_tile_export
+
+MAX_PTS_BLOCKS = 4  # rendering_kernel.cu:25
 
 
 @flax.struct.dataclass
@@ -49,6 +63,12 @@ class MultiTileScene:
     block_corner: jax.Array  # [T, 3] DOUBLED bbox corner
     block_size: jax.Array  # [T, 3] DOUBLED bbox size
     occupied: jax.Array  # [T, Rx, Ry, Rz] bool (over inner bboxes)
+    # "global" = reference prime-XOR hash; "windowed" = hierarchical
+    # window layout (tiles trained with hash_backend="windowed")
+    hash_layout: str = flax.struct.field(pytree_node=False, default="global")
+    # all tiles share one resolution ladder (true for build_tiles grids —
+    # equal tile sizes); required by the windowed fast path
+    shared_res: bool = flax.struct.field(pytree_node=False, default=True)
 
 
 def _union_occupancy(exports: list[dict]) -> np.ndarray:
@@ -90,16 +110,31 @@ def load_scene(tile_dirs: list[str], dtype=jnp.float32) -> MultiTileScene:
     stacked_dec = jax.tree_util.tree_map(
         lambda *xs: jnp.stack(xs), *decoders
     )
+    layouts = {e.get("hash_layout", "global") for e in exports}
+    assert len(layouts) == 1, f"mixed hash layouts in scene: {layouts}"
+    res = np.stack([e["resolution"] for e in exports])
     return MultiTileScene(
         features=jnp.asarray(
             np.stack([e["features"] for e in exports])
         ).astype(dtype),
         decoders=stacked_dec,
-        resolutions=jnp.asarray(np.stack([e["resolution"] for e in exports])),
+        resolutions=jnp.asarray(res),
         block_corner=jnp.asarray(np.stack([e["block_corner"] for e in exports])),
         block_size=jnp.asarray(np.stack([e["block_size"] for e in exports])),
         occupied=jnp.asarray(occ),
+        hash_layout=layouts.pop(),
+        shared_res=bool((res == res[:1]).all()),
     )
+
+
+def _tile_encode(scene: MultiTileScene, t: int, x: jax.Array) -> jax.Array:
+    """Layout-dispatched hash encode of [-2,2] coords under tile t."""
+    feats = scene.features[t].astype(jnp.float32)
+    if scene.hash_layout == "windowed":
+        from scanerf_tpu.ops.pallas.hash_encode import hash_encode_windowed_ref
+
+        return hash_encode_windowed_ref(x, feats, scene.resolutions[t])
+    return hash_encode(x, feats, scene.resolutions[t])
 
 
 # ---------------------------------------------------------------------------
@@ -167,11 +202,11 @@ def _sample_union(
     dists = jnp.broadcast_to(total[:, None] / num_sample, z_vals.shape)
     z_vals = jnp.where(valid[:, None], z_vals, 0.0)
     dists = jnp.where(valid[:, None], dists, 0.0)
-    return z_vals, dists, valid, bounds, hit
+    return z_vals, dists, valid
 
 
 # ---------------------------------------------------------------------------
-# blended evaluation
+# slot assignment: fg containing tiles, bg exit tiles
 # ---------------------------------------------------------------------------
 
 def _seam_weight(u: jax.Array, inner_size: jax.Array) -> jax.Array:
@@ -184,6 +219,137 @@ def _seam_weight(u: jax.Array, inner_size: jax.Array) -> jax.Array:
     )
     return w
 
+
+def _fg_slots(scene: MultiTileScene, pts: jax.Array, K: int):
+    """Per-sample <=K containing-tile tags (``prepare_points``,
+    rendering_kernel.cu:390-449; slots picked by seam weight instead of
+    encounter order — identical when <=K tiles overlap).
+
+    pts [N, S, 3]. Returns (tags [N,S,K] int32, w [N,S,K], m_any
+    [N,S,K] bool containment, m_eval [N,S,K] bool containment &
+    occupancy)."""
+    T = scene.features.shape[0]
+    inner_c = scene.block_corner + scene.block_size / 4.0
+    inner_s = scene.block_size / 2.0
+    res = jnp.array(scene.occupied.shape[1:])
+    w_all, c_all, o_all = [], [], []
+    for t in range(T):
+        u = (pts - inner_c[t]) / inner_s[t]
+        contains = jnp.all((u >= 0) & (u < 1), axis=-1)
+        w_all.append(_seam_weight(u, inner_s[t]))
+        c_all.append(contains)
+        cell = jnp.clip((u * res).astype(jnp.int32), 0, res - 1)
+        o_all.append(scene.occupied[t][cell[..., 0], cell[..., 1], cell[..., 2]])
+    w_all = jnp.stack(w_all, -1)  # [N, S, T]
+    c_all = jnp.stack(c_all, -1)
+    o_all = jnp.stack(o_all, -1)
+    score = jnp.where(c_all, w_all, -1.0)
+    _, tags = jax.lax.top_k(score, K)  # [N, S, K]
+    w = jnp.take_along_axis(w_all, tags, -1)
+    m_any = jnp.take_along_axis(c_all, tags, -1)
+    m_eval = m_any & jnp.take_along_axis(o_all, tags, -1)
+    return tags, jnp.where(m_any, w, 0.0), m_any, m_eval
+
+
+def _exit_slots(scene: MultiTileScene, rays_o: jax.Array, rays_d: jax.Array, K: int):
+    """Background exit-tile slots (``update_outgoing_bidx`` with
+    skip=False, rendering_kernel.cu:1262-1380): walk tiles in entry
+    order over the DOUBLED bboxes, track the running max exit ``far``
+    (stop at a disconnected gap), collect tiles whose exit equals
+    ``far``, weight by x/z boundary distance of the outgoing point.
+
+    Returns (tiles [N,K] int32, w [N,K] normalized, far [N], bg_valid [N])."""
+    bounds = ray_aabb_multi(
+        rays_o, rays_d,
+        scene.block_corner + scene.block_size / 2.0,
+        scene.block_size / 2.0,
+    )  # [N, T, 2]
+    hit = bounds[..., 0] != -1.0
+    tn = jnp.where(hit, bounds[..., 0], jnp.inf)
+    tf = jnp.where(hit, bounds[..., 1], -jnp.inf)
+    order = jnp.argsort(tn, axis=1)  # entry order (INF_INTERSECTION last)
+    tn_s = jnp.take_along_axis(tn, order, 1)
+    tf_s = jnp.take_along_axis(tf, order, 1)
+    hit_s = jnp.take_along_axis(hit, order, 1)
+
+    def step(carry, xs):
+        far, alive = carry
+        tni, tfi, hi = xs
+        ok = hi & alive & ((far == -jnp.inf) | (tni <= far))
+        far = jnp.where(ok, jnp.maximum(far, tfi), far)
+        return (far, ok), ok
+
+    N = rays_o.shape[0]
+    (far, _), ok_s = jax.lax.scan(
+        step,
+        (jnp.full((N,), -jnp.inf), jnp.ones((N,), bool)),
+        (tn_s.T, tf_s.T, hit_s.T),
+    )
+    ok_s = ok_s.T  # [N, T] processed-while-alive, in sorted order
+    ok = jnp.zeros_like(ok_s).at[
+        jnp.arange(N)[:, None], order
+    ].set(ok_s)  # back to tile order
+    bg_valid = far > -jnp.inf
+    far = jnp.where(bg_valid, far, 0.1)
+
+    # slots: visited tiles whose exit equals far (tile-grid boxes share
+    # boundary planes; tolerance covers float differences)
+    is_exit = ok & (jnp.abs(tf - far[:, None]) <= 1e-5 * jnp.abs(far[:, None]))
+    p = rays_o + far[:, None] * rays_d  # outgoing point [N, 3]
+    u = jnp.clip(
+        (p[:, None, :] - scene.block_corner[None]) / scene.block_size[None],
+        0.0, 1.0,
+    )  # [N, T, 3] in DOUBLED bboxes
+    w_all = _seam_weight(u, scene.block_size[None])  # [N, T]
+    score = jnp.where(is_exit, jnp.maximum(w_all, 1e-12), -1.0)
+    vals, tiles = jax.lax.top_k(score, K)
+    used = vals > 0.0
+    w = jnp.where(used, vals, 0.0)
+    # single-slot rays get weight 1 (reference index==1 fast path)
+    n_used = jnp.sum(used, -1, keepdims=True)
+    w = jnp.where(n_used == 1, used.astype(w.dtype), w)
+    w = w / jnp.maximum(jnp.sum(w, -1, keepdims=True), 1e-12)
+    return tiles, w, far, bg_valid
+
+
+def _bg_zvals(far: jax.Array, num_bg_sample: int):
+    """Inverse-z samples from the exit to 1e6 (``inverse_z_sampling``,
+    rendering_kernel.cu:815-868) — shared by all exit slots."""
+    N = far.shape[0]
+    tb = jnp.linspace(0.0, 1.0, num_bg_sample)[None]
+    z = 1.0 / ((1.0 / (far[:, None] + 1e-6)) * (1.0 - tb) + (1.0 / 1e6) * tb)
+    d = jnp.concatenate([z[:, 1:] - z[:, :-1], jnp.full((N, 1), 1e-6)], axis=1)
+    return z, d
+
+
+def _contract_fg(corner, size, pts):
+    """Inner bbox of (doubled corner/size) -> [-1, 1]."""
+    return ((pts - corner) / size) * 4.0 - 2.0
+
+
+def _contract_bg(corner, size, pts):
+    x = ((pts - corner) / size) * 4.0 - 2.0
+    linf = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True), 1e-9)
+    ratio = (2.0 - 1.0 / linf) / linf
+    return jnp.where(linf > 1.0, x * ratio, x)
+
+
+def _composite_premult(alpha: jax.Array, color: jax.Array, z: jax.Array):
+    """accumulate_color (:623-702): front-to-back with premultiplied
+    per-sample color; returns (rgb, depth, T_left)."""
+    N = alpha.shape[0]
+    trans = jnp.cumprod(
+        jnp.concatenate([jnp.ones((N, 1)), 1.0 - alpha], axis=1), axis=1
+    )[:, :-1]
+    rgb = jnp.sum(trans[..., None] * color, axis=1)
+    depth = jnp.sum(trans * alpha * z, axis=1)
+    T_left = trans[:, -1] * (1.0 - alpha[:, -1])
+    return rgb, depth, T_left
+
+
+# ---------------------------------------------------------------------------
+# staged (per-tile unrolled) backend — the parity oracle
+# ---------------------------------------------------------------------------
 
 def _eval_blended(
     scene: MultiTileScene,
@@ -214,12 +380,8 @@ def _eval_blended(
         if background:
             # bg points belong to their ray's EXIT tile regardless of
             # containment (bg_pts_inference_v2 with L-inf contraction)
-            u2 = (pts - corner) / size
             contains = jnp.broadcast_to((exit_tile == t)[:, None], (N, S))
-            x = u2 * 4.0 - 2.0
-            linf = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True), 1e-9)
-            ratio = (2.0 - 1.0 / linf) / linf
-            xc = jnp.where(linf > 1.0, x * ratio, x)
+            xc = _contract_bg(corner, size, pts)
             w = jnp.ones((N, S))
             occ_ok = jnp.ones((N, S), bool)
         else:
@@ -230,13 +392,9 @@ def _eval_blended(
             cell = jnp.clip((u * res).astype(jnp.int32), 0, res - 1)
             occ_ok = scene.occupied[t][cell[..., 0], cell[..., 1], cell[..., 2]]
             # fg contraction: inner bbox -> [-1, 1]
-            xc = u * 2.0 - 1.0
+            xc = _contract_fg(corner, size, pts)
 
-        feats = hash_encode(
-            xc.reshape(-1, 3),
-            scene.features[t].astype(jnp.float32),
-            scene.resolutions[t],
-        ).reshape(N, S, -1)
+        feats = _tile_encode(scene, t, xc.reshape(-1, 3)).reshape(N, S, -1)
         dec = jax.tree_util.tree_map(lambda x: x[t], scene.decoders)
         out = decoder_lib.apply_decoder(dec, feats, viewdirs, jnp.ones(feats.shape[-1]))
 
@@ -255,76 +413,200 @@ def _eval_blended(
     return acc_d / wsafe[..., None], acc_s / wsafe[..., None], acc_a / wsafe
 
 
+def _render_staged(
+    scene, rays_o, rays_d, z_vals, dists, valid,
+    bg_tiles, bg_w, z_bg, d_bg, bg_valid, invalid_underground,
+):
+    N = rays_o.shape[0]
+    K = bg_tiles.shape[1]
+    pts = rays_o[:, None, :] + z_vals[..., None] * rays_d[:, None, :]
+    diffuse, specular, alpha = _eval_blended(scene, pts, rays_d, dists, False)
+    alpha = jnp.where(valid[:, None], alpha, 0.0)
+    rgb_fg, depth_fg, T_left = _composite_premult(
+        alpha, diffuse + specular, z_vals
+    )
+
+    pts_bg = rays_o[:, None, :] + z_bg[..., None] * rays_d[:, None, :]
+    rgb_bg = jnp.zeros((N, 3))
+    depth_bg = jnp.zeros((N,))
+    for k in range(K):
+        bdiff, bspec, balpha = _eval_blended(
+            scene, pts_bg, rays_d, d_bg, True, exit_tile=bg_tiles[:, k]
+        )
+        bmask = _bg_mask(
+            scene, bg_tiles[:, k], rays_o, rays_d, z_bg,
+            bg_valid, invalid_underground,
+        )
+        rgb_k, depth_k, _ = _composite_premult(
+            balpha * bmask, (bdiff + bspec) * bmask[..., None], z_bg
+        )
+        rgb_bg = rgb_bg + bg_w[:, k:k + 1] * rgb_k
+        depth_bg = depth_bg + bg_w[:, k] * depth_k
+    return rgb_fg, depth_fg, T_left, rgb_bg, depth_bg, valid
+
+
+def _bg_mask(
+    scene, tile_k, rays_o, rays_d, z_bg, bg_valid, invalid_underground
+):
+    """[N, 1] float mask on bg contributions of one exit slot."""
+    ok = bg_valid
+    if invalid_underground:
+        # suppress bg through the ground plane (hashgrid/__init__.py:287-293)
+        inner_cy = scene.block_corner[tile_k, 1] + scene.block_size[tile_k, 1] / 4.0
+        outgoing = rays_o + z_bg[:, :1] * rays_d  # first bg sample = exit
+        ok = ok & ~(jnp.abs(outgoing[:, 1] - inner_cy) < 1e-4)
+    return ok.astype(z_bg.dtype)[:, None]
+
+
+# ---------------------------------------------------------------------------
+# windowed sorted-stream backend (TPU production path)
+# ---------------------------------------------------------------------------
+
+def _render_windowed(
+    scene, rays_o, rays_d, z_vals, dists, valid,
+    bg_tiles, bg_w, z_bg, d_bg, bg_valid, invalid_underground,
+):
+    """Capped-slot fused evaluation: ONE windowed hash lookup + ONE
+    chunk-batched decoder pass over all fg and bg (sample, tile) slots."""
+    from scanerf_tpu.ops.pallas import hash_encode as hw
+
+    T, L, H, F = scene.features.shape
+    N, S = z_vals.shape
+    Sb = z_bg.shape[1]
+    Kf = min(MAX_PTS_BLOCKS, T)
+    Kb = bg_tiles.shape[1]
+    dnorm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)  # [N, 1]
+
+    pts = rays_o[:, None, :] + z_vals[..., None] * rays_d[:, None, :]
+    tags, w_fg, m_any, m_eval = _fg_slots(scene, pts, Kf)  # [N,S,Kf]
+
+    # fg rows: contraction under each slot's tile
+    cor_f = scene.block_corner[tags]  # [N,S,Kf,3]
+    siz_f = scene.block_size[tags]
+    x_fg = _contract_fg(cor_f, siz_f, pts[:, :, None, :])
+    x_fg = jnp.where(m_any[..., None], x_fg, 0.0)  # park unused slots
+
+    # bg rows: every exit slot evaluates the SAME world points under its
+    # own tile's L-inf contraction
+    pts_bg = rays_o[:, None, :] + z_bg[..., None] * rays_d[:, None, :]
+    cor_b = scene.block_corner[bg_tiles][:, None]  # [N,1,Kb,3]
+    siz_b = scene.block_size[bg_tiles][:, None]
+    x_bg = _contract_bg(cor_b, siz_b, pts_bg[:, :, None, :])
+    bg_used = (bg_w > 0.0)[:, None, :]  # [N,1,Kb]
+    x_bg = jnp.where(
+        jnp.broadcast_to(bg_used[..., None], x_bg.shape), x_bg, 0.0
+    )
+
+    n_fg = N * S * Kf
+    X = jnp.concatenate([x_fg.reshape(-1, 3), x_bg.reshape(-1, 3)])
+    TID = jnp.concatenate([
+        tags.reshape(-1),
+        jnp.broadcast_to(bg_tiles[:, None, :], (N, Sb, Kb)).reshape(-1),
+    ])
+    DIR = jnp.concatenate([
+        jnp.broadcast_to(rays_d[:, None, None, :], (N, S, Kf, 3)).reshape(-1, 3),
+        jnp.broadcast_to(rays_d[:, None, None, :], (N, Sb, Kb, 3)).reshape(-1, 3),
+    ])
+
+    stream = hw.sort_pack_tables(X, DIR, TID, H, T)
+    feat_flat = scene.features.astype(jnp.float32).transpose(1, 0, 2, 3).reshape(L, T * H, F)
+    res0 = scene.resolutions[0]
+    feats_s = hw.hash_lookup_sorted(
+        stream.pts, stream.meta, stream.visited, feat_flat, res0
+    )  # [Np, L*F]
+
+    # per-chunk decoder: each CHUNK lies inside one tile's table range
+    Np = feats_s.shape[0]
+    NC = Np // hw.CHUNK
+    NW = H // hw.W
+    chunk_tile = jnp.clip(stream.meta[:, 0, 0] * hw.WB // NW, 0, T - 1)  # [NC]
+    dec_c = jax.tree_util.tree_map(
+        lambda p: p[chunk_tile], scene.decoders
+    )
+    feats_c = feats_s.reshape(NC, hw.CHUNK, L * F)
+    dirs_c = stream.pts[:, 4:7, :].transpose(0, 2, 1)  # [NC, CHUNK, 3]
+    out_c = jax.vmap(decoder_lib.apply_decoder, in_axes=(0, 0, 0, None))(
+        dec_c, feats_c, dirs_c, jnp.ones((L * F,), jnp.float32)
+    )
+    cols = jnp.concatenate(
+        [out_c["sigma"], out_c["diffuse"], out_c["tint"], out_c["specular"]],
+        axis=-1,
+    ).reshape(Np, 10)
+    rows = hw.unsort_rows(cols, stream.pidp, stream.inv_full, X.shape[0])
+
+    # ---- fg blend (pts_inference :500-621) ----
+    rf = rows[:n_fg].reshape(N, S, Kf, 10)
+    sig_f = rf[..., 0]
+    alpha_f = 1.0 - jnp.exp(-sig_f * (dists * dnorm)[..., None])
+    wa = w_fg * alpha_f * m_eval.astype(jnp.float32)
+    color_f = rf[..., 1:4] + rf[..., 4:7] * rf[..., 7:10]  # diffuse + tint*spec
+    wsafe = jnp.maximum(jnp.sum(w_fg * m_any, -1), 1e-8)
+    alpha = jnp.sum(wa, -1) / wsafe
+    color = jnp.sum(wa[..., None] * color_f, -2) / wsafe[..., None]
+    alpha = jnp.where(valid[:, None], alpha, 0.0)
+    rgb_fg, depth_fg, T_left = _composite_premult(alpha, color, z_vals)
+
+    # ---- bg: composite each exit slot separately, then blend ----
+    rb = rows[n_fg:].reshape(N, Sb, Kb, 10)
+    sig_b = rb[..., 0]
+    alpha_b = 1.0 - jnp.exp(-sig_b * (d_bg * dnorm)[..., None])  # [N,Sb,Kb]
+    color_b = rb[..., 1:4] + rb[..., 4:7] * rb[..., 7:10]
+    rgb_bg = jnp.zeros((N, 3))
+    depth_bg = jnp.zeros((N,))
+    for k in range(Kb):
+        bmask = _bg_mask(
+            scene, bg_tiles[:, k], rays_o, rays_d, z_bg,
+            bg_valid, invalid_underground,
+        )
+        a_k = alpha_b[..., k] * bmask
+        rgb_k, depth_k, _ = _composite_premult(
+            a_k, a_k[..., None] * color_b[..., k, :], z_bg
+        )
+        rgb_bg = rgb_bg + bg_w[:, k:k + 1] * rgb_k
+        depth_bg = depth_bg + bg_w[:, k] * depth_k
+    return rgb_fg, depth_fg, T_left, rgb_bg, depth_bg, valid
+
+
 # ---------------------------------------------------------------------------
 # full render
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("num_sample", "num_bg_sample", "num_march", "invalid_underground"))
-def render_rays(
+def _resolve_backend(scene: MultiTileScene, backend: str) -> str:
+    if backend == "auto":
+        backend = "windowed" if scene.hash_layout == "windowed" else "xla"
+    if backend == "windowed":
+        assert scene.hash_layout == "windowed", (
+            "windowed renderer needs tiles trained with hash_backend="
+            "'windowed' (hash_layout in feature.npz)")
+        assert scene.shared_res, (
+            "windowed renderer needs a shared resolution ladder "
+            "(equal tile sizes)")
+    return backend
+
+
+def _render_rays_impl(
     scene: MultiTileScene,
     rays_o: jax.Array,
     rays_d: jax.Array,
-    num_sample: int = 128,
-    num_bg_sample: int = 128,
-    num_march: int = 512,
-    invalid_underground: bool = False,
+    num_sample: int,
+    num_bg_sample: int,
+    num_march: int,
+    invalid_underground: bool,
+    backend: str,
 ) -> dict[str, jax.Array]:
-    N = rays_o.shape[0]
-
-    # ---- foreground ----
-    z_vals, dists, valid, bounds, hit = _sample_union(
+    z_vals, dists, valid = _sample_union(
         scene, rays_o, rays_d, num_sample, num_march
     )
-    pts = rays_o[:, None, :] + z_vals[..., None] * rays_d[:, None, :]
-    diffuse, specular, alpha = _eval_blended(scene, pts, rays_d, dists, False)
-    alpha = jnp.where(valid[:, None], alpha, 0.0)
-
-    # accumulate_color semantics (:623-702): diffuse/specular are already
-    # alpha-premultiplied by the blend; T *= (1 - alpha) exactly
-    trans = jnp.cumprod(
-        jnp.concatenate([jnp.ones((N, 1)), 1.0 - alpha], axis=1), axis=1
-    )[:, :-1]
-    rgb_fg = jnp.sum(trans[..., None] * (diffuse + specular), axis=1)
-    depth_fg = jnp.sum(trans * alpha * z_vals, axis=1)
-    T_left = trans[:, -1] * (1.0 - alpha[:, -1])
-
-    # ---- background: blend over exit tiles ----
-    # exit tile = the hit tile with the largest doubled-bbox exit t
-    bounds2 = ray_aabb_multi(
-        rays_o, rays_d,
-        scene.block_corner + scene.block_size / 2.0,
-        scene.block_size / 2.0,
-    )  # [N, T, 2] vs DOUBLED bboxes
-    hit2 = bounds2[..., 0] != -1.0
-    t_exit = jnp.where(hit2, bounds2[..., 1], -jnp.inf)  # [N, T]
-    exit_tile = jnp.argmax(t_exit, axis=1)  # [N]
-    exit_t = jnp.max(t_exit, axis=1)
-    bg_hit = jnp.any(hit2, axis=1)
-    exit_t = jnp.where(bg_hit, exit_t, 0.1)
-
-    tb = jnp.linspace(0.0, 1.0, num_bg_sample)[None]
-    z_bg = 1.0 / (
-        (1.0 / (exit_t[:, None] + 1e-6)) * (1.0 - tb) + (1.0 / 1e6) * tb
+    bg_tiles, bg_w, far, bg_valid = _exit_slots(
+        scene, rays_o, rays_d, min(MAX_PTS_BLOCKS, scene.features.shape[0])
     )
-    d_bg = jnp.concatenate(
-        [z_bg[:, 1:] - z_bg[:, :-1], jnp.full((N, 1), 1e-6)], axis=1
+    z_bg, d_bg = _bg_zvals(far, num_bg_sample)
+
+    impl = _render_windowed if backend == "windowed" else _render_staged
+    rgb_fg, depth_fg, T_left, rgb_bg, depth_bg, valid = impl(
+        scene, rays_o, rays_d, z_vals, dists, valid,
+        bg_tiles, bg_w, z_bg, d_bg, bg_valid, invalid_underground,
     )
-    pts_bg = rays_o[:, None, :] + z_bg[..., None] * rays_d[:, None, :]
-    bdiff, bspec, balpha = _eval_blended(
-        scene, pts_bg, rays_d, d_bg, True, exit_tile=exit_tile
-    )
-    if invalid_underground:
-        # suppress bg through the ground plane (hashgrid/__init__.py:287-293)
-        inner_cy = scene.block_corner[exit_tile, 1] + scene.block_size[exit_tile, 1] / 4.0
-        outgoing = rays_o + exit_t[:, None] * rays_d
-        bg_valid = ~(jnp.abs(outgoing[:, 1] - inner_cy) < 1e-4)
-        balpha = jnp.where(bg_valid[:, None], balpha, 0.0)
-    balpha = jnp.where(bg_hit[:, None], balpha, 0.0)
-    btrans = jnp.cumprod(
-        jnp.concatenate([jnp.ones((N, 1)), 1.0 - balpha], axis=1), axis=1
-    )[:, :-1]
-    rgb_bg = jnp.sum(btrans[..., None] * (bdiff + bspec), axis=1)
-    depth_bg = jnp.sum(btrans * balpha * z_bg, axis=1)
 
     rgb = rgb_fg + T_left[:, None] * rgb_bg
     depth = depth_fg + T_left * depth_bg
@@ -337,17 +619,97 @@ def render_rays(
     }
 
 
+@partial(jax.jit, static_argnames=(
+    "num_sample", "num_bg_sample", "num_march", "invalid_underground",
+    "backend",
+))
+def render_rays(
+    scene: MultiTileScene,
+    rays_o: jax.Array,
+    rays_d: jax.Array,
+    num_sample: int = 128,
+    num_bg_sample: int = 128,
+    num_march: int = 512,
+    invalid_underground: bool = False,
+    backend: str = "auto",
+) -> dict[str, jax.Array]:
+    """backend: "xla" staged per-tile loop | "windowed" capped-slot
+    sorted-stream Pallas path (requires windowed-layout tiles with a
+    shared resolution ladder) | "auto" picks windowed when eligible."""
+    backend = _resolve_backend(scene, backend)
+    return _render_rays_impl(
+        scene, rays_o, rays_d, num_sample, num_bg_sample, num_march,
+        invalid_underground, backend,
+    )
+
+
+@partial(jax.jit, static_argnames=(
+    "num_sample", "num_bg_sample", "num_march", "invalid_underground",
+    "backend", "mesh",
+))
+def render_rays_sharded(
+    scene: MultiTileScene,
+    rays_o: jax.Array,
+    rays_d: jax.Array,
+    mesh: jax.sharding.Mesh,
+    num_sample: int = 128,
+    num_bg_sample: int = 128,
+    num_march: int = 512,
+    invalid_underground: bool = False,
+    backend: str = "auto",
+) -> dict[str, jax.Array]:
+    """Multi-chip render: rays shard over the mesh's ``rays`` axis, the
+    scene replicates, every device renders its slice independently (the
+    reference's per-GPU frame loop, rendering.py:195-270, turned into
+    SPMD). shard_map (not plain jit) so the windowed path's lax.sorts
+    stay device-local instead of becoming global collective sorts."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    backend = _resolve_backend(scene, backend)
+    n_dev = mesh.devices.size
+    assert rays_o.shape[0] % n_dev == 0, (rays_o.shape, n_dev)
+
+    fn = partial(
+        _render_rays_impl,
+        num_sample=num_sample, num_bg_sample=num_bg_sample,
+        num_march=num_march, invalid_underground=invalid_underground,
+        backend=backend,
+    )
+    shmap = shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(), P("rays"), P("rays")),
+        out_specs=P("rays"),
+        # pallas_call inside shard_map cannot express varying-mesh-axes
+        # metadata on its out_shape — disable the vma check
+        check_vma=False,
+    )
+    return shmap(scene, rays_o, rays_d)
+
+
 def render_image(
     scene: MultiTileScene,
     K: np.ndarray,
     c2w: np.ndarray,
     H: int,
     W: int,
-    chunk: int = 2**14,
+    chunk: int = 2**13,
+    sharded: bool = False,
     **kwargs,
 ) -> dict[str, np.ndarray]:
-    """Full-frame render in chunks (rendering.py:195-270 driver)."""
+    """Full-frame render in chunks (rendering.py:195-270 driver).
+    ``sharded=True`` spreads each chunk's rays over every local device
+    (render_rays_sharded)."""
     from scanerf_tpu.utils import lie, rays as rays_mod
+
+    mesh = None
+    if sharded:
+        from jax.sharding import Mesh
+
+        devs = np.array(jax.devices())
+        if devs.size > 1:
+            mesh = Mesh(devs, ("rays",))
+            chunk = ((chunk + devs.size - 1) // devs.size) * devs.size
 
     xy = rays_mod.pixel_grid(H, W)
     pose = np.asarray(lie.invert(jnp.asarray(c2w)))
@@ -360,7 +722,11 @@ def render_image(
     rays_d = jnp.pad(rays_d, ((0, pad), (0, 0)), constant_values=1.0)
     outs = {"rgb": [], "depth": []}
     for i in range(0, n + pad, chunk):
-        out = render_rays(scene, rays_o[i : i + chunk], rays_d[i : i + chunk], **kwargs)
+        ro, rd = rays_o[i : i + chunk], rays_d[i : i + chunk]
+        if mesh is not None:
+            out = render_rays_sharded(scene, ro, rd, mesh, **kwargs)
+        else:
+            out = render_rays(scene, ro, rd, **kwargs)
         outs["rgb"].append(np.asarray(out["rgb"]))
         outs["depth"].append(np.asarray(out["depth"]))
     return {k: np.concatenate(v)[:n].reshape(H, W, -1) for k, v in outs.items()}

@@ -84,7 +84,12 @@ def export_tile(
     state: TrainState,
     cams: cam_lib.Cameras,
     visible_poses: list[int],
+    hash_layout: str = "global",
 ) -> None:
+    """hash_layout records which table layout the tile was trained with:
+    "global" (reference prime-XOR, hash_backend="xla") or "windowed"
+    (hierarchical window hash, hash_backend="windowed"). The renderer
+    must look features up with the matching hash."""
     os.makedirs(out_dir, exist_ok=True)
     fs = state.field_state
     log2dim = np.log2(np.array(fs.occupied_grid.shape)).astype(np.int32)
@@ -96,6 +101,7 @@ def export_tile(
         block_size=np.asarray(fs.bbox_size),
         grid_log2dim=log2dim,
         resolution=np.asarray(fs.resolutions),
+        hash_layout=np.array(hash_layout),
     )
     packed = np.asarray(decoder_lib.pack_params(state.params.field.decoder))
     np.savez(os.path.join(out_dir, "decoder.npz"), params=packed)
@@ -119,6 +125,9 @@ def load_tile_export(tile_dir: str) -> dict:
     dec = np.load(os.path.join(tile_dir, "decoder.npz"))
     cams = np.load(os.path.join(tile_dir, "cams.npz"))
     return {
+        "hash_layout": (
+            str(feat["hash_layout"]) if "hash_layout" in feat else "global"
+        ),
         "features": feat["features"],
         "occupied_grid": feat["occupied_grid"],
         "block_corner": feat["block_corner"],

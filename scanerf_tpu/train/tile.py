@@ -63,6 +63,16 @@ class TrainConfig:
     alpha: float = 10.0
     gamma: float = 20.0
     warp_top_k: int = 10
+    # resolution of the NO-GRAD neighbor visibility re-render inside the
+    # warp loss (warp_loss.py:355-377 re-renders B*K rays at the full
+    # training sample counts — at K=10 that is 10x the main render).
+    # The re-render only feeds the soft visibility/diffuseness gates
+    # (exp(-alpha*|dz|/voxel)), so a coarser march is PSNR-neutral while
+    # cutting the warp-step overhead ~4x (PERF.md). Set equal to
+    # num_sample/num_bg_sample/num_march for exact reference parity.
+    warp_vis_sample: int = 32
+    warp_vis_bg_sample: int = 32
+    warp_vis_march: int = 128
     rho: float = 0.0
     syn_start: int = 0
     invalid_underground: bool = False
@@ -117,6 +127,9 @@ class TrainConfig:
             cam_enable=T.CAMOPT.ENABLE,
             cam_start_steps=T.CAMOPT.START_STEPS,
             hash_backend=T.get("HASH_BACKEND", "xla"),
+            warp_vis_sample=L.get("WARP_VIS_SAMPLE", 32),
+            warp_vis_bg_sample=L.get("WARP_VIS_BG_SAMPLE", 32),
+            warp_vis_march=L.get("WARP_VIS_MARCH", 128),
         )
 
 
@@ -384,9 +397,9 @@ def _warp_loss(params, field_state, data, out, gt_color, valid, stepf, tc):
     nei_out = field_lib.render_rays(
         jax.tree_util.tree_map(jax.lax.stop_gradient, params.field),
         field_state, flat_o, flat_d,
-        tc.num_sample, tc.num_bg_sample, stepf,
+        tc.warp_vis_sample, tc.warp_vis_bg_sample, stepf,
         train=False, invalid_underground=tc.invalid_underground,
-        num_march=tc.num_march,
+        num_march=tc.warp_vis_march,
         backend=tc.hash_backend,
     )
     # voxel size = max(tile_size / finest hash resolution) (warp_loss.py:150)

@@ -440,6 +440,13 @@ class Trainer:
                     ),
                     (np.clip(panel, 0, 1) * 255).astype(np.uint8),
                 )
+                with open(
+                    os.path.join(self.logdir, "training.log"), "a"
+                ) as f:
+                    f.write(
+                        f"step {step} tile {tile_idx} "
+                        f"eval_psnr {p:.4f} eval_ssim {ss:.6f}\n"
+                    )
             # pose snapshot (tile.py:800-808)
             np.savez(
                 os.path.join(self.logdir, f"cams-tile{tile_idx}-{step}.npz"),
@@ -469,7 +476,13 @@ class Trainer:
             n_real = len(self.view_lists[i])
             cams = _slice_cams(self.datas[i].cameras, n_real)
             s_real = _slice_state_cams(s, n_real)
-            ckpt_lib.export_tile(out_dir, s_real, cams, self.view_lists[i])
+            ckpt_lib.export_tile(
+                out_dir, s_real, cams, self.view_lists[i],
+                hash_layout=(
+                    "windowed" if self.tc.hash_backend == "windowed"
+                    else "global"
+                ),
+            )
             ckpt_lib.save_checkpoint(
                 ckpt_lib.checkpoint_path(self.logdir, int(s.step), tile_idx),
                 s,

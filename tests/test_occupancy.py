@@ -64,7 +64,9 @@ def test_prune_subsplit_doubles_resolution():
 
 
 def test_pruning_schedule():
-    s = occupancy.PruningSchedule([4, 5, 6, 7], [0.1, 0.2, 0.3], adjust_step=100)
+    s = occupancy.PruningSchedule(
+        [4, 5, 6, 7], [0.1, 0.2, 0.3], adjust_step=100, dynamic_step=100
+    )
     assert not s.should_prune(0)
     assert not s.should_prune(50)
     assert s.should_prune(100)
@@ -80,7 +82,10 @@ def test_pruning_schedule():
 
 
 def test_pruning_schedule_golden_vs_reference():
-    """Golden ladder vs a direct transcription of tile.py:62-65,866-877."""
+    """Golden ladder vs a direct transcription of tile.py:62-65,866-877:
+    events fire every dynamic_step=5000 within [0, TOTAL-10000]
+    (inclusive end); ladder indices are step // ADJUST_STEP, each list
+    clamped independently."""
     log2dims = [4, 5, 6, 7, 8, 9]
     ths = [0.1, 0.2, 0.3, 0.4]
     adjust, total = 2000, 40000
@@ -91,16 +96,15 @@ def test_pruning_schedule_golden_vs_reference():
         if s.should_prune(step):
             events.append((step,) + s.params_at(step))
 
-    # reference: fires when 0 <= step <= TOTAL-10000 and step % 5000-ish
-    # (we use ADJUST_STEP as the cadence, which the reference also passes
-    # to pruning_grid); ladder indices are step // ADJUST_STEP clamped
+    # reference transcription (tile.py:866-872 with dynamic_start=0,
+    # dynamic_end=TOTAL-10000, dynamic_step=5000)
     ref = []
-    for step in range(total + 1):
-        if step == 0 or step % adjust != 0 or step > total - 10000:
-            continue
-        i = min(step // adjust, len(log2dims) - 1)
-        j = min(step // adjust, len(ths) - 1)
-        ref.append((step, log2dims[i], ths[j]))
+    for step in range(1, total + 1):
+        if step <= total - 10000 and step % 5000 == 0:
+            i = min(step // adjust, len(log2dims) - 1)
+            j = min(step // adjust, len(ths) - 1)
+            ref.append((step, log2dims[i], ths[j]))
     assert events == ref
-    assert events[0] == (2000, 5, 0.2)
+    # 5000//2000 = 2 -> log2dim 6, th 0.3; last event at 30000 clamps
+    assert events[0] == (5000, 6, 0.3)
     assert events[-1] == (30000, 9, 0.4)

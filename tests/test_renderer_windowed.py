@@ -1,0 +1,128 @@
+"""Multi-tile renderer: windowed fast path vs staged oracle, capped
+per-sample tiles, and multi-exit-tile background blending
+(rendering_kernel.cu pts_inference / update_outgoing_bidx semantics)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scanerf_tpu.models import decoder as decoder_lib
+from scanerf_tpu.ops.hash_encode import make_level_resolutions
+from scanerf_tpu.render import renderer
+
+
+def make_scene(T=2, H=2**14, layout="windowed", seed=0):
+    """T tiles of equal size side by side along x, 0.2 overlap."""
+    key = jax.random.PRNGKey(seed)
+    L = 16
+    inner_size = np.array([2.0, 2.0, 2.0], np.float32)
+    corners, feats, decs = [], [], []
+    for t in range(T):
+        key, kf, kd = jax.random.split(key, 3)
+        inner_corner = np.array([-1.0 + t * 1.6, -1.0, -1.0], np.float32)
+        center = inner_corner + inner_size / 2
+        corners.append(center - inner_size)  # DOUBLED bbox corner
+        feats.append(jax.random.normal(kf, (L, H, 2)) * 0.1)
+        decs.append(decoder_lib.init_decoder(kd))
+    res = make_level_resolutions(
+        np.array([32, 32, 32]), np.array([512, 512, 512]), L
+    )
+    return renderer.MultiTileScene(
+        features=jnp.stack(feats),
+        decoders=jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *decs),
+        resolutions=jnp.broadcast_to(jnp.asarray(res), (T, L, 3)),
+        block_corner=jnp.asarray(np.stack(corners)),
+        block_size=jnp.broadcast_to(jnp.asarray(inner_size * 2), (T, 3)),
+        occupied=jnp.ones((T, 8, 8, 8), bool),
+        hash_layout=layout,
+    )
+
+
+def test_windowed_matches_staged():
+    """The capped-slot sorted-stream path must reproduce the per-tile
+    unrolled oracle (T=2 <= MAX_PTS_BLOCKS: identical slot sets)."""
+    scene = make_scene()
+    rng = np.random.RandomState(0)
+    rays_o = jnp.asarray(rng.randn(24, 3).astype(np.float32) * 0.3)
+    rays_d = jnp.asarray(rng.randn(24, 3).astype(np.float32))
+    kw = dict(num_sample=12, num_bg_sample=6, num_march=32)
+    a = renderer.render_rays(scene, rays_o, rays_d, backend="xla", **kw)
+    b = renderer.render_rays(scene, rays_o, rays_d, backend="windowed", **kw)
+    np.testing.assert_allclose(
+        np.asarray(a["rgb"]), np.asarray(b["rgb"]), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(a["depth"]), np.asarray(b["depth"]), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(a["T_left"]), np.asarray(b["T_left"]), atol=2e-5
+    )
+
+
+def test_exit_slots_multi_and_single():
+    """Rays exiting through a face shared by both doubled bboxes blend
+    two tiles; rays exiting through one tile's own face get one slot of
+    weight 1 (update_outgoing_bidx :1262-1380)."""
+    scene = make_scene()
+    # both doubled bboxes span z in [-3, 1]... corner z=-3, size 4 -> z
+    # exit plane z=+1 shared; +z ray from inside both tiles
+    o = jnp.asarray([[0.5, 0.0, 0.0], [0.5, 0.0, 0.0]], jnp.float32)
+    d = jnp.asarray([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0]], jnp.float32)
+    tiles, w, far, bg_valid = renderer._exit_slots(scene, o, d, 2)
+    w = np.asarray(w)
+    assert bool(bg_valid[0]) and bool(bg_valid[1])
+    # ray 0 exits both tiles at z=1: two positive weights summing to 1
+    assert (w[0] > 0).sum() == 2, w[0]
+    np.testing.assert_allclose(w[0].sum(), 1.0, atol=1e-6)
+    # ray 1 exits through tile 1's +x face only: single slot, weight 1
+    assert (w[1] > 0).sum() == 1, w[1]
+    assert np.asarray(tiles)[1][np.argmax(w[1])] == 1
+    np.testing.assert_allclose(w[1].max(), 1.0, atol=1e-6)
+
+
+def test_bg_seam_continuity():
+    """Background color must vary continuously across the tile seam
+    (VERDICT item 5: single-exit blending produced a jump)."""
+    scene = make_scene(seed=3)
+    xs = np.linspace(0.2, 0.7, 41, dtype=np.float32)  # crosses the seam
+    o = jnp.asarray(np.stack([xs, np.zeros_like(xs), np.zeros_like(xs)], -1))
+    d = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), o.shape)
+    out = renderer.render_rays(
+        scene, o, d, num_sample=8, num_bg_sample=8, num_march=16,
+        backend="windowed",
+    )
+    rgb = np.asarray(out["rgb"])
+    jumps = np.abs(np.diff(rgb, axis=0)).max(-1)
+    # neighboring rays 0.0125 apart: no isolated discontinuity
+    assert jumps.max() < 0.05, jumps.max()
+
+
+def test_render_sharded_matches_single():
+    """Ray-sharded SPMD render == single-device render (8 CPU devices)."""
+    from jax.sharding import Mesh
+
+    scene = make_scene(seed=5)
+    rng = np.random.RandomState(4)
+    rays_o = jnp.asarray(rng.randn(32, 3).astype(np.float32) * 0.3)
+    rays_d = jnp.asarray(rng.randn(32, 3).astype(np.float32))
+    kw = dict(num_sample=8, num_bg_sample=4, num_march=16, backend="xla")
+    mesh = Mesh(np.array(jax.devices()), ("rays",))
+    a = renderer.render_rays(scene, rays_o, rays_d, **kw)
+    b = renderer.render_rays_sharded(scene, rays_o, rays_d, mesh, **kw)
+    np.testing.assert_allclose(
+        np.asarray(a["rgb"]), np.asarray(b["rgb"]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(a["depth"]), np.asarray(b["depth"]), atol=1e-4
+    )
+
+
+def test_fg_slots_cap_and_weights():
+    scene = make_scene()
+    # a point in the overlap region of both inner bboxes
+    pts = jnp.asarray([[[0.7, 0.0, 0.0]], [[-0.5, 0.0, 0.0]]], jnp.float32)
+    tags, w, m_any, m_eval = renderer._fg_slots(scene, pts, 2)
+    m = np.asarray(m_any)
+    assert m[0, 0].sum() == 2  # overlap: both tiles
+    assert m[1, 0].sum() == 1  # only tile 0 contains x=-0.5
+    assert np.asarray(w)[1, 0][~m[1, 0]].sum() == 0.0
