@@ -197,6 +197,55 @@ def padded_size(N: int, H: int, n_tables: int = 1) -> tuple[int, int]:
     return Np, Np // CHUNK
 
 
+def _pack_kernel(meta_ref, src_hbm, pts_ref, pidp_ref, buf, sem0):
+    """Ragged-shift pack: output chunk c copies its block's contiguous
+    source run [src_start, src_start + n_real) and fills the tail with
+    pad rows (u=0.5, wid=padwid, dirs=0, pid=N). One dynamic-offset DMA
+    per chunk replaces the former global sort-by-destination.
+
+    HBM DMA lane offsets must be 128-aligned (Mosaic tiling), so the
+    copy reads from the aligned-down offset with 128 extra lanes and
+    realigns in-register: per 128-lane vreg tile, two one-vreg dynamic
+    lane gathers (same trick as ``_win_gather``) + a select. The source
+    carries pid as f32 in row 7 (exact below 2^24 — asserted by the
+    caller), so one DMA serves all nine fields."""
+    src_start = meta_ref[0, 0, 0]
+    n_real = meta_ref[0, 0, 1]
+    padwid = meta_ref[0, 0, 2]
+    n_total = meta_ref[0, 0, 3]  # N of the source (pad pid value)
+
+    aligned = (src_start // 128) * 128
+    sh = src_start - aligned  # [0, 128)
+
+    dma = pltpu.make_async_copy(
+        src_hbm.at[:, pl.ds(aligned, CHUNK + 128)], buf, sem0)
+    dma.start()
+    dma.wait()
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    lane = (iota + sh) & 127
+    carry = iota + sh >= 128  # lane falls into the NEXT vreg tile
+
+    for k in range(SUBT):
+        a = buf[:, k * 128:(k + 1) * 128]
+        b = buf[:, (k + 1) * 128:(k + 2) * 128]
+        ra = jnp.take_along_axis(a, lane, axis=1)
+        rb = jnp.take_along_axis(b, lane, axis=1)
+        v = jnp.where(carry, rb, ra)  # realigned [8, 128]
+        pad = (k * 128 + iota[0:1]) >= n_real  # [1, 128]
+        padf = jnp.concatenate([
+            jnp.full((3, 128), 0.5, jnp.float32),
+            jnp.full((1, 128), 1.0, jnp.float32) * padwid.astype(jnp.float32),
+            jnp.zeros((3, 128), jnp.float32),
+            jnp.full((1, 128), 1.0, jnp.float32) * n_total.astype(jnp.float32),
+        ])
+        v = jnp.where(jnp.broadcast_to(pad, (8, 128)), padf, v)
+        sl = pl.ds(k * 128, 128)
+        pts_ref[0, 0:7, sl] = v[0:7]
+        pts_ref[0, 7:8, sl] = jnp.zeros((1, 128), jnp.float32)
+        pidp_ref[0, 0:1, sl] = v[7:8].astype(jnp.int32)
+
+
 def _sort_pack_impl(
     x: jax.Array,
     dirs: jax.Array,
@@ -208,7 +257,12 @@ def _sort_pack_impl(
     streams (the multi-tile renderer). Window ids become
     ``tid * NW + wid``; tile boundaries then coincide with block
     boundaries (NW % WB == 0), so every CHUNK stays within one tile's
-    table slab and the kernel needs no changes."""
+    table slab and the kernel needs no changes.
+
+    Pipeline: ONE lax.sort by window id (8 operands), then the pad-align
+    layout is a per-block forward shift of contiguous runs — done by the
+    ``_pack_kernel`` DMA copy, NOT a second sort (sorts are the dominant
+    cost on TPU, PERF.md)."""
     N = x.shape[0]
     NW, NB, _ = geometry(H)
     NW, NB = NW * n_tables, NB * n_tables
@@ -233,56 +287,71 @@ def _sort_pack_impl(
     padded = ((pop + CHUNK - 1) // CHUNK) * CHUNK
     S = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(padded).astype(jnp.int32)]
+    )  # padded block starts [NB+1]
+
+    # per-output-chunk copy descriptor: the block containing the chunk,
+    # its source run, and the pad wid. Tail chunks (past S[NB]) stay in
+    # the LAST block with wid = NW-1: block visits must be monotone or
+    # the bwd flush-on-change would rewrite earlier gradients with zeros.
+    c0 = jnp.arange(NC, dtype=jnp.int32) * CHUNK
+    b_of_c = jnp.clip(
+        jnp.searchsorted(S, c0, side="right").astype(jnp.int32) - 1,
+        0, NB - 1,
     )
+    src_start = c0 - (S[b_of_c] - bounds[b_of_c])
+    n_real = jnp.clip(S[b_of_c] + pop[b_of_c] - c0, 0, CHUNK)
+    padwid = jnp.where(c0 < S[NB], b_of_c * WB, NW - 1)
+    # the source is padded by CHUNK + 128 extra columns so the
+    # (CHUNK+128)-wide aligned DMA at any legitimate aligned-down start
+    # (<= N) stays in bounds; chunks with n_real == 0 may compute a
+    # larger start — clamp them to N (all their columns are pad)
+    assert N < 2**24, "pid carried as f32 row (exact below 2^24)"
+    N_pad = ((N + CHUNK - 1) // CHUNK) * CHUNK + CHUNK + 128
+    src_start = jnp.clip(src_start, 0, N)
+    meta_c = jnp.stack(
+        [src_start, n_real, padwid, jnp.full((NC,), N, jnp.int32)], -1
+    )[:, None, :]  # [NC, 1, 4]
 
-    # destination position of every real row
-    b_of = jnp.clip(ws // WB, 0, NB - 1)
-    pos_real = pid + (S[b_of] - bounds[b_of])
+    zpad = jnp.zeros((N_pad - N,), jnp.float32)
+    src = jnp.stack([
+        jnp.concatenate([u0, zpad]), jnp.concatenate([u1, zpad]),
+        jnp.concatenate([u2, zpad]),
+        jnp.concatenate([ws.astype(jnp.float32), zpad]),
+        jnp.concatenate([d0, zpad]), jnp.concatenate([d1, zpad]),
+        jnp.concatenate([d2, zpad]),
+        jnp.concatenate([pids.astype(jnp.float32), zpad]),
+    ])  # [8, N_pad]; row 7 = pid as f32
 
-    # pad candidates: CHUNK per block; only (padded-pop) of them valid,
-    # the rest keyed past Np so they land in the (sliced-off) tail.
-    # Tail rows get wid = NW-1 so the tail chunks EXTEND the last block:
-    # block visits must stay monotone or the bwd flush-on-change would
-    # rewrite an earlier block's gradients with zeros.
-    P = Np - N
-    k = jnp.arange(NB * CHUNK, dtype=jnp.int32)
-    bk = k // CHUNK
-    jk = k % CHUNK
-    need = padded[bk] - pop[bk]
-    valid_pad = jk < need
-    pos_pad = jnp.where(valid_pad, S[bk] + pop[bk] + jk, Np + k)
-    wid_pad = jnp.where(valid_pad, bk * WB, NW - 1)
-    extra = P - NB * CHUNK  # 0 <= extra < CHUNK (ceil alignment of N)
-    if extra > 0:
-        pos_pad = jnp.concatenate(
-            [pos_pad, Np + NB * CHUNK + jnp.arange(extra, dtype=jnp.int32)]
-        )
-        wid_pad = jnp.concatenate(
-            [wid_pad, jnp.full((extra,), NW - 1, jnp.int32)]
-        )
-
-    def cat(real, pad_val):
-        padv = jnp.full((P,), pad_val, real.dtype)
-        return jnp.concatenate([real, padv])
-
-    pos = jnp.concatenate([pos_real, pos_pad])
-    widf_in = jnp.concatenate(
-        [ws.astype(jnp.float32), wid_pad.astype(jnp.float32)])
-    (_, u0p, u1p, u2p, widfp, d0p, d1p, d2p, pidp) = jax.lax.sort(
-        (pos, cat(u0, 0.5), cat(u1, 0.5), cat(u2, 0.5), widf_in,
-         cat(d0, 0.0), cat(d1, 0.0), cat(d2, 0.0),
-         jnp.concatenate([pids, jnp.full((P,), N, jnp.int32)])),
-        num_keys=1,
-    )
-
-    pts = jnp.stack(
-        [u0p, u1p, u2p, widfp, d0p, d1p, d2p, jnp.zeros_like(u0p)], axis=0
-    ).reshape(8, NC, CHUNK).transpose(1, 0, 2)  # [NC, 8, CHUNK]
+    pts, pidp2 = pl.pallas_call(
+        _pack_kernel,
+        grid=(NC,),
+        in_specs=[
+            pl.BlockSpec((1, 1, 4), lambda c: (c, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 8, CHUNK), lambda c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, CHUNK), lambda c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((NC, 8, CHUNK), jnp.float32),
+            jax.ShapeDtypeStruct((NC, 1, CHUNK), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((8, CHUNK + 128), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=_interpret(),
+    )(meta_c, src)
+    pidp = pidp2.reshape(Np)
 
     # per-SUBTILE window ranges: row t of meta[c] = (boc, wmin_t, span_t, 0)
     # for the 128-point lane subtile t (the kernel loops each subtile over
     # only the windows it actually touches)
-    widp = widfp.astype(jnp.int32).reshape(NC, SUBT, 128)
+    widp = pts[:, 3, :].astype(jnp.int32).reshape(NC, SUBT, 128)
     wmin_t = jnp.min(widp, axis=2)  # [NC, 8]
     wmax_t = jnp.max(widp, axis=2)
     boc_c = jnp.min(wmin_t, axis=1) // WB  # [NC]
