@@ -84,10 +84,12 @@ class TrainConfig:
     cam_enable: bool = True
     cam_start_steps: int = 0
     l2_specular_weight: float = 0.01  # hard-coded in the step (tile.py:999)
-    # TPU perf knob: unbiased stochastic-corner table gradients cut the
-    # backward scatter rows 8x (ops/hash_encode.py; PERF.md). Forward is
-    # exactly trilinear either way.
-    stochastic_hash_grad: bool = True
+    # TPU perf knob for the "xla" backend: unbiased stochastic-corner
+    # table gradients cut the backward scatter rows 8x
+    # (ops/hash_encode.py; PERF.md). Forward is exactly trilinear either
+    # way. OFF by default: exact reference gradients; the production
+    # "windowed" backend computes exact gradients regardless.
+    stochastic_hash_grad: bool = False
     # sparse Adam for the hash table (the reference's vdbAdam capability:
     # zero-grad entries are fully skipped — cuda/adam_kernel.cu:46-51).
     # Off by default for parity with the shipped trainer's dense Adam.
@@ -127,6 +129,7 @@ class TrainConfig:
             cam_enable=T.CAMOPT.ENABLE,
             cam_start_steps=T.CAMOPT.START_STEPS,
             hash_backend=T.get("HASH_BACKEND", "xla"),
+            stochastic_hash_grad=T.get("STOCHASTIC_HASH_GRAD", False),
             warp_vis_sample=L.get("WARP_VIS_SAMPLE", 32),
             warp_vis_bg_sample=L.get("WARP_VIS_BG_SAMPLE", 32),
             warp_vis_march=L.get("WARP_VIS_MARCH", 128),
@@ -501,6 +504,48 @@ def render_chunk(params, field_state, rays_o, rays_d, step, tc: TrainConfig):
         num_march=tc.num_march,
         backend=tc.hash_backend,
     )
+
+
+def render_depth_batch(
+    state: TrainState,
+    cams: Cameras,
+    view_idxs: list[int],
+    H: int,
+    W: int,
+    tc: TrainConfig,
+    chunk: int = 2**14,
+) -> np.ndarray:
+    """Depth maps for several views in ONE chunked ray stream.
+
+    Packs all views' rays into shared chunks so the occlusion-mask
+    refresh (render_shared_depth, tile.py:432-475) does
+    ceil(V*H*W/chunk) dispatches instead of V*ceil(H*W/chunk) — the
+    per-view loop is what made the refresh host-serial at MAX_POSES
+    scale. Returns [V, H, W] float32.
+    """
+    from scanerf_tpu.utils import rays as rays_mod
+
+    xy = rays_mod.pixel_grid(H, W)
+    rts = cam_lib.get_rts(cams, state.params.se3_refine)
+    all_o, all_d = [], []
+    for vi in view_idxs:
+        o, d = rays_mod.get_center_and_ray(xy, rts[vi], cams.ks[vi])
+        all_o.append(o)
+        all_d.append(d)
+    rays_o = jnp.concatenate(all_o)
+    rays_d = jnp.concatenate(all_d)
+    n = rays_o.shape[0]
+    pad = (-n) % chunk
+    rays_o = jnp.pad(rays_o, ((0, pad), (0, 0)))
+    rays_d = jnp.pad(rays_d, ((0, pad), (0, 0)), constant_values=1.0)
+    depths = []
+    for i in range(0, n + pad, chunk):
+        out = render_chunk(
+            state.params, state.field_state, rays_o[i : i + chunk],
+            rays_d[i : i + chunk], state.step, tc,
+        )
+        depths.append(np.asarray(out["pred_depth"]))
+    return np.concatenate(depths)[:n].reshape(len(view_idxs), H, W)
 
 
 def render_image(

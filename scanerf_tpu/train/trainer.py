@@ -245,8 +245,11 @@ class Trainer:
         cfg = self.cfg
         enable_admm = cfg.RHO > 0
         total = self.tc.total_step
-        syn = cfg.SYN_ITERS if enable_admm else total
         eval_step = int(cfg.get("EVAL_STEP", 1000))
+        # independent mode still rounds at the eval cadence so periodic
+        # eval renders / pose snapshots fire (the reference evaluates
+        # inside its train loop every 1000 steps, tile.py:810-864)
+        syn = cfg.SYN_ITERS if enable_admm else min(total, eval_step)
 
         mesh = tp.make_tile_mesh(self.mesh_devices)
         n_dev = len(mesh.devices.reshape(-1))
@@ -344,7 +347,8 @@ class Trainer:
         states = _unstack(tiles.state, len(self.tile_idxs))
         shared_depth: dict[int, np.ndarray] = {}
 
-        # phase 1: publish half-res depths
+        # phase 1: publish half-res depths — all qualifying views of a
+        # tile render in ONE packed chunk stream (render_depth_batch)
         for i, tile_idx in enumerate(self.tile_idxs):
             s = states[i]
             info = self.infos[i]
@@ -352,16 +356,20 @@ class Trainer:
             half = info.size / 2.0
             cams = self.datas[i].cameras
             rts = np.asarray(cam_lib.get_rts(cams, s.params.se3_refine))
+            inside = []
             for li, gv in enumerate(self.view_lists[i]):
                 eye = -rts[li][:, :3].T @ rts[li][:, 3]
-                if not np.all(np.abs(eye - center) < half):
-                    continue
-                out = tile_lib.render_image(
-                    s, cams, li, H // 2, W // 2,
-                    dataclass_replace(self.tc, num_march=min(self.tc.num_march, 256)),
-                    chunk=2**13,
-                )
-                shared_depth[gv] = out["depth"][..., 0]
+                if np.all(np.abs(eye - center) < half):
+                    inside.append((li, gv))
+            if not inside:
+                continue
+            depths = tile_lib.render_depth_batch(
+                s, cams, [li for li, _ in inside], H // 2, W // 2,
+                dataclass_replace(self.tc, num_march=min(self.tc.num_march, 256)),
+                chunk=2**14,
+            )
+            for k, (_, gv) in enumerate(inside):
+                shared_depth[gv] = depths[k]
 
         if not shared_depth:
             return data

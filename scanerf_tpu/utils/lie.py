@@ -297,8 +297,10 @@ def procrustes_analysis(X0: jax.Array, X1: jax.Array) -> dict:
     s1 = jnp.sqrt((X1c**2).sum(axis=-1).mean())
     U, _, Vh = jnp.linalg.svd((X0c / s0).T @ (X1c / s1), full_matrices=False)
     V = Vh.T
-    R = U @ V.T
-    # reflection fix: flip last row of R when det < 0
-    flip = jnp.where(jnp.linalg.det(R) < 0, -1.0, 1.0)
-    R = R.at[2].multiply(flip)
+    # Kabsch correction: flip the smallest-singular-value direction when
+    # the raw solution is a reflection. (The reference flips the last ROW
+    # of R instead, camera.py:350 — a valid rotation but not the optimal
+    # alignment; same result in the non-degenerate det>0 case.)
+    d = jnp.linalg.det(U @ V.T)
+    R = U @ jnp.diag(jnp.stack([1.0 + 0.0 * d, 1.0 + 0.0 * d, d])) @ V.T
     return dict(t0=t0[0], t1=t1[0], s0=s0, s1=s1, R=R)

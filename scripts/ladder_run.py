@@ -28,6 +28,18 @@ import shutil
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+_OUT = ["/tmp/ladder_results.json"]
+
+
+def _flush(results):
+    import json as _json
+
+    with open(_OUT[0], "w") as f:
+        _json.dump(results, f, indent=1)
+
 
 def make_cfg(datadir, **over):
     from scanerf_tpu.config import default_config
@@ -50,10 +62,10 @@ def make_cfg(datadir, **over):
     T.PRUNING_TH = [0.1]
     T.HASH_BACKEND = over.pop("HASH_BACKEND", "windowed")
     T.CAMOPT.NOISE = over.pop("NOISE", 0.0)
+    T.STOCHASTIC_HASH_GRAD = over.pop("STOCH", False)
     T.LOSS.WEIGHT_WARP_LOSS = over.pop("W_WARP", 0.0)
     T.LOSS.WEIGHT_DEPTH_LOSS = over.pop("W_DEPTH", 0.0)
     T.LOSS.WEIGHT_DEPTH_SMOOTH_LOSS = over.pop("W_SMOOTH", 0.0)
-    cfg.STOCHASTIC_HASH_GRAD = over.pop("STOCH", False)
     assert not over, over
     return cfg
 
@@ -93,15 +105,10 @@ def parse_admm(logdir):
     return rs
 
 
-def train(cfg, stoch=False):
-    import dataclasses
-
-    from scanerf_tpu.train import tile as tile_lib
+def train(cfg):
     from scanerf_tpu.train.trainer import Trainer
 
     tr = Trainer(cfg)
-    if stoch:
-        tr.tc = dataclasses.replace(tr.tc, stochastic_hash_grad=True)
     t0 = time.time()
     tr.run()
     return tr.logdir, time.time() - t0
@@ -119,14 +126,19 @@ def scene_a(results):
         os.path.join(datadir, "camera-gt.log"),
     )
 
+    # the xla-backend A/B (stochastic-corner vs exact gradients, VERDICT
+    # weak 9) runs at a reduced batch/steps — the exact-scatter XLA path
+    # is ~30x slower per ray than the windowed kernel and only the
+    # RELATIVE PSNR/pose outcome of the pair matters
     for name, kw in [
         ("A-windowed", dict(HASH_BACKEND="windowed")),
-        ("A-xla-exact", dict(HASH_BACKEND="xla")),
-        ("A-xla-stoch", dict(HASH_BACKEND="xla", STOCH=True)),
+        ("A-xla-exact", dict(HASH_BACKEND="xla", TOTAL_STEP=600,
+                             BS_LOG2DIM=10, EVAL_STEP=200)),
+        ("A-xla-stoch", dict(HASH_BACKEND="xla", STOCH=True, TOTAL_STEP=600,
+                             BS_LOG2DIM=10, EVAL_STEP=200)),
     ]:
         cfg = make_cfg(datadir, PREFIX=name, NOISE=0.05, **kw)
-        stoch = bool(cfg.pop("STOCHASTIC_HASH_GRAD"))
-        logdir, dt = train(cfg, stoch=stoch)
+        logdir, dt = train(cfg)
         psnr, pose, loss = parse_log(logdir)
         results[name] = {
             "logdir": logdir,
@@ -136,6 +148,7 @@ def scene_a(results):
             "loss_first_last": [loss[0], loss[-1]] if loss else [],
         }
         print(name, json.dumps(results[name]))
+        _flush(results)
 
 
 def scene_b(results):
@@ -158,7 +171,6 @@ def scene_b(results):
         SYN_ITERS=50, NOISE=0.02, TOTAL_STEP=600, EVAL_STEP=200,
         HASH_BACKEND="windowed",
     )
-    cfg.pop("STOCHASTIC_HASH_GRAD")
     logdir, dt = train(cfg)
     psnr, pose, loss = parse_log(logdir)
     admm = parse_admm(logdir)
@@ -172,6 +184,7 @@ def scene_b(results):
         "n_tile_exports": len(glob.glob(os.path.join(logdir, "tile-*"))),
     }
     print("B-admm", json.dumps(results["B-admm"]))
+    _flush(results)
 
     # render 2 validation frames through the standalone renderer CLI
     cfg_path = "/tmp/ladder_b_cfg.yaml"
@@ -191,11 +204,13 @@ def scene_b(results):
         "tail": r.stdout[-400:] + r.stderr[-400:],
     }
     print("B-render", json.dumps(results["B-render"]))
+    _flush(results)
 
 
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "AB"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/ladder_results.json"
+    _OUT[0] = out
     results = {}
     if "A" in which:
         scene_a(results)

@@ -89,3 +89,31 @@ def test_procrustes_recovers_similarity():
     sim3 = lie.procrustes_analysis(X0, X1)
     X1to0 = (X1 - sim3["t1"]) / sim3["s1"] @ sim3["R"].T * sim3["s0"] + sim3["t0"]
     np.testing.assert_allclose(X1to0, X0, atol=1e-4)
+
+
+def test_pose_eval_exact_recovery_coplanar_safe():
+    """evaluate_camera_alignment must report ~0 error for EXACT pose
+    recovery, including near-degenerate rigs (the former row-flip
+    'reflection fix' produced 180-degree errors on a coplanar circle
+    with a zero singular value)."""
+    import numpy as np
+
+    from scanerf_tpu.data.synthetic import make_sphere_dataset
+    from scanerf_tpu.train import cameras as cam_lib
+
+    for hv in (0.3, 0.0):  # staggered and fully coplanar rigs
+        _, _, ks, c2ws = make_sphere_dataset(12, 8, 8, height_variation=hv)
+        noise = 0.05 * np.random.RandomState(0).randn(12, 6).astype(np.float32)
+        cams = cam_lib.make_cameras(
+            jnp.asarray(ks), jnp.asarray(c2ws),
+            noise_se3=jnp.asarray(noise), gt_c2ws=jnp.asarray(c2ws),
+        )
+        corr = lie.compose(
+            [lie.invert(jnp.asarray(c2ws)), lie.invert(cams.rts)]
+        )
+        se3 = lie.SE3_to_se3(corr)
+        r, t = cam_lib.evaluate_camera_alignment(cams, se3)
+        assert float(r) < 0.1, (hv, float(r))
+        assert float(t) < 1e-3, (hv, float(t))
+        r0, _ = cam_lib.evaluate_camera_alignment(cams, jnp.zeros((12, 6)))
+        assert float(r0) > 1.0, (hv, float(r0))

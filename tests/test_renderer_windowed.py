@@ -117,6 +117,39 @@ def test_render_sharded_matches_single():
     )
 
 
+def test_multi_table_stream_matches_per_table():
+    """sort_pack_tables + one kernel call over stacked tables == the
+    per-table windowed reference lookup."""
+    from scanerf_tpu.ops.pallas import hash_encode as hw
+
+    key = jax.random.PRNGKey(7)
+    T, L, H = 2, 4, 2**14
+    feats = jax.random.normal(key, (T, L, H, 2)) * 0.1
+    res = jnp.asarray(np.tile([[33, 65, 129]], (L, 1)), jnp.int32)
+    rng = np.random.RandomState(2)
+    N = 300
+    x = jnp.asarray(rng.uniform(-2, 2, (N, 3)).astype(np.float32))
+    tids = jnp.asarray(rng.randint(0, T, N), jnp.int32)
+
+    stream = hw.sort_pack_tables(x, jnp.zeros_like(x), tids, H, T)
+    feat_flat = feats.transpose(1, 0, 2, 3).reshape(L, T * H, 2)
+    got = hw.unsort_rows(
+        hw.hash_lookup_sorted(
+            stream.pts, stream.meta, stream.visited, feat_flat, res
+        ),
+        stream.pidp, stream.inv_full, N,
+    )
+    want_per_table = [
+        hw.hash_encode_windowed_ref(x, feats[t], res) for t in range(T)
+    ]
+    want = jnp.where(
+        (tids == 0)[:, None], want_per_table[0], want_per_table[1]
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6
+    )
+
+
 def test_fg_slots_cap_and_weights():
     scene = make_scene()
     # a point in the overlap region of both inner bboxes
