@@ -252,6 +252,7 @@ def _sort_pack_impl(
     H: int,
     tids: jax.Array | None = None,
     n_tables: int = 1,
+    need_inverse: bool = True,
 ):
     """tids (optional) [N] int32: per-point table index for multi-table
     streams (the multi-tile renderer). Window ids become
@@ -361,8 +362,11 @@ def _sort_pack_impl(
          jnp.zeros_like(wmin_t)], axis=-1
     ).astype(jnp.int32)
 
-    _, inv_full = jax.lax.sort(
-        (pidp, jnp.arange(Np, dtype=jnp.int32)), num_keys=1)
+    if need_inverse:
+        _, inv_full = jax.lax.sort(
+            (pidp, jnp.arange(Np, dtype=jnp.int32)), num_keys=1)
+    else:
+        inv_full = None  # unsort_rows fwd never reads it
     return SortedStream(
         pts=pts, meta=meta, pidp=pidp, inv_full=inv_full, visited=pop > 0
     )
@@ -411,9 +415,13 @@ def sort_pack_tables(
     """Multi-table window-sort: points carry a per-point table index
     (tile id) and land in window ``tid*NW + wid`` of a concatenated
     feature stack [L, n_tables*H, F]. Forward-only (inference path —
-    the multi-tile renderer); use ``sort_pack`` for the training path.
+    the multi-tile renderer), so the inverse-permutation sort (only
+    needed by ``unsort_rows``'s backward) is skipped; use ``sort_pack``
+    for the training path.
     """
-    return _sort_pack_impl(x, dirs, H, tids=tids, n_tables=n_tables)
+    return _sort_pack_impl(
+        x, dirs, H, tids=tids, n_tables=n_tables, need_inverse=False
+    )
 
 
 # ---------------------------------------------------------------------------

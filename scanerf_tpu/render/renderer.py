@@ -465,6 +465,7 @@ def _bg_mask(
 def _render_windowed(
     scene, rays_o, rays_d, z_vals, dists, valid,
     bg_tiles, bg_w, z_bg, d_bg, bg_valid, invalid_underground,
+    max_blend_tiles=MAX_PTS_BLOCKS,
 ):
     """Capped-slot fused evaluation: ONE windowed hash lookup + ONE
     chunk-batched decoder pass over all fg and bg (sample, tile) slots."""
@@ -473,7 +474,7 @@ def _render_windowed(
     T, L, H, F = scene.features.shape
     N, S = z_vals.shape
     Sb = z_bg.shape[1]
-    Kf = min(MAX_PTS_BLOCKS, T)
+    Kf = min(max_blend_tiles, T)
     Kb = bg_tiles.shape[1]
     dnorm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)  # [N, 1]
 
@@ -528,18 +529,22 @@ def _render_windowed(
     out_c = jax.vmap(decoder_lib.apply_decoder, in_axes=(0, 0, 0, None))(
         dec_c, feats_c, dirs_c, jnp.ones((L * F,), jnp.float32)
     )
+    # only (sigma, diffuse + tint*specular) leave the sorted stream —
+    # the unsort is a lax.sort whose cost scales with the column count,
+    # and the blend needs nothing else
     cols = jnp.concatenate(
-        [out_c["sigma"], out_c["diffuse"], out_c["tint"], out_c["specular"]],
+        [out_c["sigma"],
+         out_c["diffuse"] + out_c["tint"] * out_c["specular"]],
         axis=-1,
-    ).reshape(Np, 10)
+    ).reshape(Np, 4)
     rows = hw.unsort_rows(cols, stream.pidp, stream.inv_full, X.shape[0])
 
     # ---- fg blend (pts_inference :500-621) ----
-    rf = rows[:n_fg].reshape(N, S, Kf, 10)
+    rf = rows[:n_fg].reshape(N, S, Kf, 4)
     sig_f = rf[..., 0]
     alpha_f = 1.0 - jnp.exp(-sig_f * (dists * dnorm)[..., None])
     wa = w_fg * alpha_f * m_eval.astype(jnp.float32)
-    color_f = rf[..., 1:4] + rf[..., 4:7] * rf[..., 7:10]  # diffuse + tint*spec
+    color_f = rf[..., 1:4]  # diffuse + tint*specular
     wsafe = jnp.maximum(jnp.sum(w_fg * m_any, -1), 1e-8)
     alpha = jnp.sum(wa, -1) / wsafe
     color = jnp.sum(wa[..., None] * color_f, -2) / wsafe[..., None]
@@ -547,10 +552,10 @@ def _render_windowed(
     rgb_fg, depth_fg, T_left = _composite_premult(alpha, color, z_vals)
 
     # ---- bg: composite each exit slot separately, then blend ----
-    rb = rows[n_fg:].reshape(N, Sb, Kb, 10)
+    rb = rows[n_fg:].reshape(N, Sb, Kb, 4)
     sig_b = rb[..., 0]
     alpha_b = 1.0 - jnp.exp(-sig_b * (d_bg * dnorm)[..., None])  # [N,Sb,Kb]
-    color_b = rb[..., 1:4] + rb[..., 4:7] * rb[..., 7:10]
+    color_b = rb[..., 1:4]
     rgb_bg = jnp.zeros((N, 3))
     depth_bg = jnp.zeros((N,))
     for k in range(Kb):
@@ -593,16 +598,21 @@ def _render_rays_impl(
     num_march: int,
     invalid_underground: bool,
     backend: str,
+    max_blend_tiles: int = MAX_PTS_BLOCKS,
 ) -> dict[str, jax.Array]:
     z_vals, dists, valid = _sample_union(
         scene, rays_o, rays_d, num_sample, num_march
     )
     bg_tiles, bg_w, far, bg_valid = _exit_slots(
-        scene, rays_o, rays_d, min(MAX_PTS_BLOCKS, scene.features.shape[0])
+        scene, rays_o, rays_d,
+        min(max_blend_tiles, scene.features.shape[0]),
     )
     z_bg, d_bg = _bg_zvals(far, num_bg_sample)
 
-    impl = _render_windowed if backend == "windowed" else _render_staged
+    if backend == "windowed":
+        impl = partial(_render_windowed, max_blend_tiles=max_blend_tiles)
+    else:
+        impl = _render_staged
     rgb_fg, depth_fg, T_left, rgb_bg, depth_bg, valid = impl(
         scene, rays_o, rays_d, z_vals, dists, valid,
         bg_tiles, bg_w, z_bg, d_bg, bg_valid, invalid_underground,
@@ -621,7 +631,7 @@ def _render_rays_impl(
 
 @partial(jax.jit, static_argnames=(
     "num_sample", "num_bg_sample", "num_march", "invalid_underground",
-    "backend",
+    "backend", "max_blend_tiles",
 ))
 def render_rays(
     scene: MultiTileScene,
@@ -632,14 +642,18 @@ def render_rays(
     num_march: int = 512,
     invalid_underground: bool = False,
     backend: str = "auto",
+    max_blend_tiles: int = MAX_PTS_BLOCKS,
 ) -> dict[str, jax.Array]:
     """backend: "xla" staged per-tile loop | "windowed" capped-slot
     sorted-stream Pallas path (requires windowed-layout tiles with a
-    shared resolution ladder) | "auto" picks windowed when eligible."""
+    shared resolution ladder) | "auto" picks windowed when eligible.
+    max_blend_tiles (<= MAX_PTS_BLOCKS=4) trades seam-corner blending
+    accuracy for row count — 2 suffices away from 4-tile corners at the
+    standard 0.2 overlap."""
     backend = _resolve_backend(scene, backend)
     return _render_rays_impl(
         scene, rays_o, rays_d, num_sample, num_bg_sample, num_march,
-        invalid_underground, backend,
+        invalid_underground, backend, max_blend_tiles,
     )
 
 
