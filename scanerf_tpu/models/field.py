@@ -464,6 +464,7 @@ def compute_normal(
     state: FieldState,
     samples: jax.Array,
     step: jax.Array,
+    backend: str = "xla",
 ) -> tuple[jax.Array, jax.Array]:
     """Normals as the negated normalized density gradient
     (``HashGrid.compute_normal``, hashgrid/__init__.py:374-392).
@@ -478,7 +479,9 @@ def compute_normal(
         # (the reference queries HE on raw points here, :370 — we apply
         # the fg contraction for consistency with the render path)
         x = contract_fore(state, p)
-        return field_inference_sigma(params, state, x[None], step)[0, 0]
+        return field_inference_sigma(
+            params, state, x[None], step, backend=backend
+        )[0, 0]
 
     sigma, grads = jax.vmap(jax.value_and_grad(sigma_of))(flat)
     normal = -grads / (jnp.linalg.norm(grads, axis=-1, keepdims=True) + 1e-8)
@@ -493,6 +496,7 @@ def render_normals(
     num_sample: int,
     step: jax.Array,
     num_march: int = 512,
+    backend: str = "xla",
 ) -> jax.Array:
     """Accumulated surface normals in [0, 1] (``TILE.render_normals``,
     tile.py:696-714)."""
@@ -504,7 +508,7 @@ def render_normals(
     z = jnp.where(valid[:, None], z_vals, 0.0)
     d = jnp.where(valid[:, None], dists, 0.0)
     samples = rays_o[:, None, :] + z[..., None] * rays_d[:, None, :]
-    normals, sigma = compute_normal(params, state, samples, step)
+    normals, sigma = compute_normal(params, state, samples, step, backend=backend)
     weights, _ = integrate.integrate_weights(sigma[..., 0], d, rays_d, infinity=False)
     weights = jnp.where(valid[:, None], weights, 0.0)
     pred = integrate.accumulate(weights, jax.lax.stop_gradient(normals))
@@ -512,11 +516,27 @@ def render_normals(
 
 
 def field_inference_sigma(
-    params: FieldParams, state: FieldState, samples: jax.Array, step: jax.Array
+    params: FieldParams,
+    state: FieldState,
+    samples: jax.Array,
+    step: jax.Array,
+    backend: str = "xla",
 ) -> jax.Array:
-    """Density query for pruning (:368-372 + annealing as in :196-198)."""
+    """Density query for pruning (:368-372 + annealing as in :196-198).
+
+    ``backend`` must match the layout the table was TRAINED with — a
+    windowed-layout table queried through the global prime-XOR hash
+    returns garbage densities (and pruning would then keep/drop the
+    wrong cells)."""
     x = samples.reshape(-1, 3)
-    feats = hash_encode(x, params.features, state.resolutions)
+    if backend == "windowed":
+        from scanerf_tpu.ops.pallas.hash_encode import hash_encode_windowed_ref
+
+        feats = hash_encode_windowed_ref(
+            x, params.features, state.resolutions
+        )
+    else:
+        feats = hash_encode(x, params.features, state.resolutions)
     wf = jnp.repeat(weight_feature(step), 2, axis=-1)
     sig = decoder_lib.inference_sigma(params.decoder, feats * wf)
     return sig.reshape(*samples.shape[:-1], 1)

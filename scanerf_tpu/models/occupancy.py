@@ -24,14 +24,17 @@ from scanerf_tpu.models import field as field_lib
 from scanerf_tpu.models.field import FieldParams, FieldState
 
 
-@partial(jax.jit, static_argnames=())
+@partial(jax.jit, static_argnames=("backend",))
 def _max_alpha_chunk(
     params: FieldParams,
     state: FieldState,
     pts: jax.Array,  # [C, S, 3] in [-2, 2] (contract space)
     step: jax.Array,
+    backend: str = "xla",
 ) -> jax.Array:
-    sigma = field_lib.field_inference_sigma(params, state, pts, step)[..., 0]
+    sigma = field_lib.field_inference_sigma(
+        params, state, pts, step, backend=backend
+    )[..., 0]
     alpha = 1.0 - jnp.exp(-1.0 * sigma)
     return jnp.max(alpha, axis=-1)  # [C]
 
@@ -44,6 +47,7 @@ def prune_occupancy(
     sub_split: bool,
     pruning_th: float,
     chunk_cells: int = 4096,
+    backend: str = "xla",
 ) -> FieldState:
     """Return a new FieldState with the re-derived occupancy grid.
 
@@ -90,7 +94,9 @@ def prune_occupancy(
         # frac*2-1 (contract_fore maps inner bbox to [-1,1])
         pts = (c[:, None, :] + lattice[None, :, :]) * 2.0 - 1.0
         alpha = np.asarray(
-            _max_alpha_chunk(params, state, jnp.asarray(pts), step_arr)
+            _max_alpha_chunk(
+                params, state, jnp.asarray(pts), step_arr, backend=backend
+            )
         )
         keep[i : i + chunk_cells] = alpha[:n] > pruning_th
 

@@ -63,6 +63,13 @@ class MultiTileScene:
     block_corner: jax.Array  # [T, 3] DOUBLED bbox corner
     block_size: jax.Array  # [T, 3] DOUBLED bbox size
     occupied: jax.Array  # [T, Rx, Ry, Rz] bool (over inner bboxes)
+    # ONE scene-wide occupancy grid over the union of inner bboxes
+    # (process_occupied_grid makes the per-tile grids agree wherever
+    # tiles overlap, so a single global rasterization answers every
+    # per-sample query with one gather instead of T)
+    union_occ: jax.Array  # [Gx, Gy, Gz] bool
+    union_corner: jax.Array  # [3]
+    union_size: jax.Array  # [3]
     # "global" = reference prime-XOR hash; "windowed" = hierarchical
     # window layout (tiles trained with hash_backend="windowed")
     hash_layout: str = flax.struct.field(pytree_node=False, default="global")
@@ -100,6 +107,40 @@ def _union_occupancy(exports: list[dict]) -> np.ndarray:
     return np.stack(grids)
 
 
+def build_union_grid(
+    block_corner: np.ndarray,  # [T, 3] DOUBLED corners
+    block_size: np.ndarray,  # [T, 3]
+    occupied: np.ndarray,  # [T, Rx, Ry, Rz]
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Rasterize per-tile occupancy into one scene-wide grid at the
+    tiles' cell pitch. Returns (grid, corner, size). Host-side, once per
+    scene load — the same re-rasterization across mutually-misaligned
+    grids that ``process_occupied_grid`` performs tile-to-tile."""
+    T = occupied.shape[0]
+    inner_c = block_corner + block_size / 4.0
+    inner_s = block_size / 2.0
+    res = np.array(occupied.shape[1:], np.float64)
+    cell = (inner_s / res).min(axis=0)  # finest pitch per axis
+    lo = inner_c.min(axis=0)
+    hi = (inner_c + inner_s).max(axis=0)
+    G = np.maximum(np.ceil((hi - lo) / cell - 1e-6).astype(np.int64), 1)
+    gx, gy, gz = [
+        lo[i] + (np.arange(G[i]) + 0.5) * cell[i] for i in range(3)
+    ]
+    centers = np.stack(
+        np.meshgrid(gx, gy, gz, indexing="ij"), -1
+    ).reshape(-1, 3)
+    occ = np.zeros(len(centers), bool)
+    for t in range(T):
+        u = (centers - inner_c[t]) / inner_s[t]
+        inb = np.all((u >= 0) & (u < 1), axis=-1)
+        c = np.clip((u[inb] * res).astype(np.int64), 0, res.astype(np.int64) - 1)
+        occ[inb] |= occupied[t][c[:, 0], c[:, 1], c[:, 2]]
+    return occ.reshape(tuple(G)), lo.astype(np.float32), (
+        G * cell
+    ).astype(np.float32)
+
+
 def load_scene(tile_dirs: list[str], dtype=jnp.float32) -> MultiTileScene:
     exports = [load_tile_export(d) for d in tile_dirs]
     occ = _union_occupancy(exports)
@@ -113,15 +154,21 @@ def load_scene(tile_dirs: list[str], dtype=jnp.float32) -> MultiTileScene:
     layouts = {e.get("hash_layout", "global") for e in exports}
     assert len(layouts) == 1, f"mixed hash layouts in scene: {layouts}"
     res = np.stack([e["resolution"] for e in exports])
+    corners = np.stack([e["block_corner"] for e in exports])
+    sizes = np.stack([e["block_size"] for e in exports])
+    ug, uc, us = build_union_grid(corners, sizes, occ)
     return MultiTileScene(
         features=jnp.asarray(
             np.stack([e["features"] for e in exports])
         ).astype(dtype),
         decoders=stacked_dec,
         resolutions=jnp.asarray(res),
-        block_corner=jnp.asarray(np.stack([e["block_corner"] for e in exports])),
-        block_size=jnp.asarray(np.stack([e["block_size"] for e in exports])),
+        block_corner=jnp.asarray(corners),
+        block_size=jnp.asarray(sizes),
         occupied=jnp.asarray(occ),
+        union_occ=jnp.asarray(ug),
+        union_corner=jnp.asarray(uc),
+        union_size=jnp.asarray(us),
         hash_layout=layouts.pop(),
         shared_res=bool((res == res[:1]).all()),
     )
@@ -142,19 +189,14 @@ def _tile_encode(scene: MultiTileScene, t: int, x: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 def _union_occupancy_lookup(scene: MultiTileScene, pts: jax.Array) -> jax.Array:
-    """[..., 3] world points -> bool: occupied in ANY containing tile."""
-    T = scene.features.shape[0]
-    inner_c = scene.block_corner + scene.block_size / 4.0  # [T, 3]
-    inner_s = scene.block_size / 2.0
-    res = jnp.array(scene.occupied.shape[1:])
-    occ_any = jnp.zeros(pts.shape[:-1], bool)
-    for t in range(T):
-        u = (pts - inner_c[t]) / inner_s[t]
-        inb = jnp.all((u >= 0) & (u < 1), axis=-1)
-        cell = jnp.clip((u * res).astype(jnp.int32), 0, res - 1)
-        occ = scene.occupied[t][cell[..., 0], cell[..., 1], cell[..., 2]]
-        occ_any = occ_any | (occ & inb)
-    return occ_any
+    """[..., 3] world points -> bool: occupied in the scene-wide union
+    grid (ONE gather per point instead of one per tile)."""
+    G = jnp.array(scene.union_occ.shape)
+    u = (pts - scene.union_corner) / scene.union_size
+    inb = jnp.all((u >= 0) & (u < 1), axis=-1)
+    cell = jnp.clip((u * G).astype(jnp.int32), 0, G - 1)
+    occ = scene.union_occ[cell[..., 0], cell[..., 1], cell[..., 2]]
+    return occ & inb
 
 
 def _sample_union(
@@ -227,27 +269,26 @@ def _fg_slots(scene: MultiTileScene, pts: jax.Array, K: int):
 
     pts [N, S, 3]. Returns (tags [N,S,K] int32, w [N,S,K], m_any
     [N,S,K] bool containment, m_eval [N,S,K] bool containment &
-    occupancy)."""
+    occupancy). Occupancy queries the scene-wide union grid once per
+    SAMPLE: after ``process_occupied_grid`` all containing tiles agree
+    on a point's occupancy, so the per-tile gather is redundant."""
     T = scene.features.shape[0]
     inner_c = scene.block_corner + scene.block_size / 4.0
     inner_s = scene.block_size / 2.0
-    res = jnp.array(scene.occupied.shape[1:])
-    w_all, c_all, o_all = [], [], []
+    w_all, c_all = [], []
     for t in range(T):
         u = (pts - inner_c[t]) / inner_s[t]
         contains = jnp.all((u >= 0) & (u < 1), axis=-1)
         w_all.append(_seam_weight(u, inner_s[t]))
         c_all.append(contains)
-        cell = jnp.clip((u * res).astype(jnp.int32), 0, res - 1)
-        o_all.append(scene.occupied[t][cell[..., 0], cell[..., 1], cell[..., 2]])
     w_all = jnp.stack(w_all, -1)  # [N, S, T]
     c_all = jnp.stack(c_all, -1)
-    o_all = jnp.stack(o_all, -1)
+    occ_any = _union_occupancy_lookup(scene, pts)  # [N, S]
     score = jnp.where(c_all, w_all, -1.0)
     _, tags = jax.lax.top_k(score, K)  # [N, S, K]
     w = jnp.take_along_axis(w_all, tags, -1)
     m_any = jnp.take_along_axis(c_all, tags, -1)
-    m_eval = m_any & jnp.take_along_axis(o_all, tags, -1)
+    m_eval = m_any & occ_any[..., None]
     return tags, jnp.where(m_any, w, 0.0), m_any, m_eval
 
 

@@ -316,7 +316,8 @@ class Trainer:
         for i, s in enumerate(states):
             finest = np.asarray(s.field_state.resolutions[-1])
             fs = occupancy_lib.prune_occupancy(
-                s.params.field, s.field_state, step, finest, sub_split, th
+                s.params.field, s.field_state, step, finest, sub_split, th,
+                backend=self.tc.hash_backend,
             )
             new_states.append(s.replace(field_state=fs))
         n_pad = tiles.cam_map.shape[0] - len(new_states)

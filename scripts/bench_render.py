@@ -44,13 +44,19 @@ def make_scene(T, H_table=2**19, seed=0):
         np.array([32, 32, 32]), np.array([2048, 2048, 2048]), L
     )
     occ = np.random.RandomState(0).rand(T, 64, 64, 64) < 0.3
+    corners = np.stack(corners)
+    sizes = np.broadcast_to(inner_size * 2, (T, 3)).copy()
+    ug, uc, us = renderer.build_union_grid(corners, sizes, occ)
     return renderer.MultiTileScene(
         features=jnp.stack(feats),
         decoders=jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *decs),
         resolutions=jnp.broadcast_to(jnp.asarray(res), (T, L, 3)),
-        block_corner=jnp.asarray(np.stack(corners)),
-        block_size=jnp.broadcast_to(jnp.asarray(inner_size * 2), (T, 3)),
+        block_corner=jnp.asarray(corners),
+        block_size=jnp.asarray(sizes),
         occupied=jnp.asarray(occ),
+        union_occ=jnp.asarray(ug),
+        union_corner=jnp.asarray(uc),
+        union_size=jnp.asarray(us),
         hash_layout="windowed",
     )
 

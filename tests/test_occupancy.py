@@ -108,3 +108,42 @@ def test_pruning_schedule_golden_vs_reference():
     # 5000//2000 = 2 -> log2dim 6, th 0.3; last event at 30000 clamps
     assert events[0] == (5000, 6, 0.3)
     assert events[-1] == (30000, 9, 0.4)
+
+
+def test_inference_sigma_backend_matches_layout():
+    """Pruning density queries must use the hash layout the table was
+    trained with: for a windowed table, the windowed lookup and the
+    global-hash lookup give DIFFERENT features, so backend plumbing
+    matters (regression for the silent global-hash default)."""
+    from scanerf_tpu.ops.hash_encode import hash_encode
+    from scanerf_tpu.ops.pallas.hash_encode import hash_encode_windowed_ref
+
+    params, state = field_lib.create_field(
+        jax.random.PRNGKey(2),
+        bbox_corner=np.array([-1.0, -1.0, -1.0]),
+        bbox_size=np.array([2.0, 2.0, 2.0]),
+        log2_hashmap_size=14,
+        grid_resolution=(8, 64),
+        sampler_log2dim=3,
+    )
+    pts = jnp.asarray(
+        np.random.RandomState(0).uniform(-1, 1, (64, 3)).astype(np.float32)
+    )
+    s_win = field_lib.field_inference_sigma(
+        params, state, pts, jnp.asarray(1e6), backend="windowed"
+    )
+    s_xla = field_lib.field_inference_sigma(
+        params, state, pts, jnp.asarray(1e6), backend="xla"
+    )
+    # sanity: the two lookups disagree on random tables...
+    assert not np.allclose(np.asarray(s_win), np.asarray(s_xla))
+    # ...and the windowed path equals a direct windowed-ref evaluation
+    from scanerf_tpu.models import decoder as decoder_lib
+
+    feats = hash_encode_windowed_ref(
+        pts, params.features, state.resolutions
+    )
+    want = decoder_lib.inference_sigma(params.decoder, feats)
+    np.testing.assert_allclose(
+        np.asarray(s_win)[..., 0], np.asarray(want)[..., 0], rtol=1e-5
+    )

@@ -27,13 +27,20 @@ def make_scene(T=2, H=2**14, layout="windowed", seed=0):
     res = make_level_resolutions(
         np.array([32, 32, 32]), np.array([512, 512, 512]), L
     )
+    corners = np.stack(corners)
+    sizes = np.broadcast_to(inner_size * 2, (T, 3))
+    occ = np.ones((T, 8, 8, 8), bool)
+    ug, uc, us = renderer.build_union_grid(corners, sizes, occ)
     return renderer.MultiTileScene(
         features=jnp.stack(feats),
         decoders=jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *decs),
         resolutions=jnp.broadcast_to(jnp.asarray(res), (T, L, 3)),
-        block_corner=jnp.asarray(np.stack(corners)),
-        block_size=jnp.broadcast_to(jnp.asarray(inner_size * 2), (T, 3)),
-        occupied=jnp.ones((T, 8, 8, 8), bool),
+        block_corner=jnp.asarray(corners),
+        block_size=jnp.asarray(sizes),
+        occupied=jnp.asarray(occ),
+        union_occ=jnp.asarray(ug),
+        union_corner=jnp.asarray(uc),
+        union_size=jnp.asarray(us),
         hash_layout=layout,
     )
 
