@@ -531,8 +531,71 @@ def _win_gather(win8, flat_c_t):
     return e
 
 
+# --- de-interleaved window layout (kernel-internal) -----------------------
+# HBM keeps the canonical interleaved layout (entry-major, F innermost:
+# flat = 2*slot + feature). The kernels relayout each slab ONCE per block
+# visit into rows 0-3 = f0 (slot s at sublane s>>7, lane s&127) and rows
+# 4-7 = f1, so the hot per-corner access needs ONE dynamic gather for
+# both features (vs two) and the backward scatter needs ONE one-hot
+# dot_general (vs two). The relayout itself uses static lane indices and
+# is amortized over all chunks touching the block.
+
+def _deinterleave_window(win8):
+    # full-vreg gathers only (Mosaic take_along_axis needs [8,128])
+    j = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    hi1 = j[:1] >= 64
+    d0 = jnp.take_along_axis(win8, (2 * j) & 127, axis=1)
+    d1 = jnp.take_along_axis(win8, (2 * j + 1) & 127, axis=1)
+    rows = []
+    for d in (d0, d1):
+        for r in range(4):
+            rows.append(jnp.where(hi1, d[2 * r + 1:2 * r + 2], d[2 * r:2 * r + 1]))
+    return jnp.concatenate(rows, axis=0)
+
+
+def _interleave_window(win_d):
+    q = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    qh = q >> 1
+    odd1 = (q[:1] & 1) == 1
+    dA = jnp.take_along_axis(win_d, qh, axis=1)  # even output rows
+    dB = jnp.take_along_axis(win_d, 64 + qh, axis=1)  # odd output rows
+    rows = []
+    for p in range(8):
+        d = dA if (p & 1) == 0 else dB
+        rows.append(
+            jnp.where(odd1, d[4 + p // 2:5 + p // 2], d[p // 2:p // 2 + 1])
+        )
+    return jnp.concatenate(rows, axis=0)
+
+
+def _relayout_slab(src, dst, L, transform):
+    """Apply a per-window [8,128] transform across a [L, BLOCK_SUB, 128]
+    slab (runs once per block visit)."""
+    def body(i, _):
+        l = i // WB
+        w = i % WB
+        sl = pl.ds(w * WIN_SUB, WIN_SUB)
+        dst[l, sl, :] = transform(src[l, sl, :])
+        return ()
+
+    jax.lax.fori_loop(0, L * WB, body, ())
+
+
+def _win_gather2(win_d, lane, sub):
+    """De-interleaved window access: (f0, f1) values (1,128) for slot
+    lanes ``lane`` (1,128) and sublane ids ``sub`` in [0,4)."""
+    d = jnp.take_along_axis(win_d, jnp.broadcast_to(lane, (8, 128)), axis=1)
+    f0 = d[0:1, :]
+    f1 = d[4:5, :]
+    for r in range(1, 4):
+        m = sub == r
+        f0 = jnp.where(m, d[r:r + 1, :], f0)
+        f1 = jnp.where(m, d[4 + r:5 + r, :], f1)
+    return f0, f1
+
+
 def _fwd_kernel(res_ref, meta_ref, pts_ref, feat_hbm, out_ref,
-                slab, prev, sem):
+                slab, slab_d, prev, sem):
     c = pl.program_id(0)
     L = out_ref.shape[1]
 
@@ -549,6 +612,7 @@ def _fwd_kernel(res_ref, meta_ref, pts_ref, feat_hbm, out_ref,
             feat_hbm.at[:, pl.ds(boc * BLOCK_SUB, BLOCK_SUB), :], slab, sem)
         dma.start()
         dma.wait()
+        _relayout_slab(slab, slab_d, L, _deinterleave_window)
 
     wmins = [meta_ref[0, t, 1] for t in range(SUBT)]
     spans = [meta_ref[0, t, 2] for t in range(SUBT)]
@@ -566,13 +630,15 @@ def _fwd_kernel(res_ref, meta_ref, pts_ref, feat_hbm, out_ref,
                 s0, s1 = carry
                 w = wmin_t + k
                 wl = w - boc * WB
-                win8 = slab[l, pl.ds(wl * WIN_SUB, WIN_SUB), :]  # (8, 128)
+                win_d = slab_d[l, pl.ds(wl * WIN_SUB, WIN_SUB), :]  # (8,128)
                 mt = (widf_t == w.astype(jnp.float32)).astype(jnp.float32)
                 for cc in range(8):
-                    flat = slot[cc:cc + 1, :] * 2
+                    lane = slot[cc:cc + 1, :] & 127
+                    sub = slot[cc:cc + 1, :] >> 7
                     wmc = w8[cc:cc + 1, :] * mt
-                    s0 = s0 + wmc * _win_gather(win8, flat)
-                    s1 = s1 + wmc * _win_gather(win8, flat + 1)
+                    f0, f1 = _win_gather2(win_d, lane, sub)
+                    s0 = s0 + wmc * f0
+                    s1 = s1 + wmc * f1
                 return s0, s1
 
             zero = jnp.zeros((1, 128), jnp.float32)
@@ -585,8 +651,10 @@ def _fwd_kernel(res_ref, meta_ref, pts_ref, feat_hbm, out_ref,
 
 
 def _bwd_kernel(res_ref, meta_ref, pts_ref, g_ref, feat_hbm,
-                dacc_hbm, dpts_ref, slab, daccs, dpt, prev,
+                dacc_hbm, dpts_ref, slab, slab_d, daccs, stage, dpt, prev,
                 sem_in, sem_out):
+    """daccs accumulates in the DE-INTERLEAVED layout; flush interleaves
+    it through ``stage`` back to the canonical HBM layout."""
     c = pl.program_id(0)
     NC = pl.num_programs(0)
     L = g_ref.shape[1]
@@ -598,8 +666,9 @@ def _bwd_kernel(res_ref, meta_ref, pts_ref, g_ref, feat_hbm,
     boc = meta_ref[0, 0, 0]
 
     def flush(pb):
+        _relayout_slab(daccs, stage, L, _interleave_window)
         dma = pltpu.make_async_copy(
-            daccs, dacc_hbm.at[:, pl.ds(pb * BLOCK_SUB, BLOCK_SUB), :],
+            stage, dacc_hbm.at[:, pl.ds(pb * BLOCK_SUB, BLOCK_SUB), :],
             sem_out)
         dma.start()
         dma.wait()
@@ -617,6 +686,7 @@ def _bwd_kernel(res_ref, meta_ref, pts_ref, g_ref, feat_hbm,
             slab, sem_in)
         dma.start()
         dma.wait()
+        _relayout_slab(slab, slab_d, L, _deinterleave_window)
 
     dpt[:, :] = jnp.zeros((8, CHUNK), jnp.float32)
     iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
@@ -641,35 +711,30 @@ def _bwd_kernel(res_ref, meta_ref, pts_ref, g_ref, feat_hbm,
                 wx, wy, wz, sx, sy, sz, rx, ry, rz = aux
                 w = wmin_t + k
                 wl = w - boc * WB
-                win8 = slab[l, pl.ds(wl * WIN_SUB, WIN_SUB), :]
+                win_d = slab_d[l, pl.ds(wl * WIN_SUB, WIN_SUB), :]
                 mt = (widf_t == w.astype(jnp.float32)).astype(jnp.float32)
                 dwin = jnp.zeros((8, 128), jnp.float32)
                 for cc in range(8):
-                    flat = slot[cc:cc + 1, :] * 2
-                    lane = flat & 127
-                    sub = flat >> 7
+                    lane = slot[cc:cc + 1, :] & 127
+                    sub = slot[cc:cc + 1, :] >> 7
                     wmc = w8[cc:cc + 1, :] * mt
-                    # scatter: spread to target sublanes, one-hot dot
-                    # over target lanes. f1's lane = f0's lane + 1 in the
-                    # same sublane (f0 lanes are even), so its one-hot is
-                    # the f0 one-hot rolled one row down.
-                    subm = (iota8 == jnp.broadcast_to(sub, (8, 128)))
-                    ohl0 = (iota128 == jnp.broadcast_to(lane, (128, 128))
-                            ).astype(jnp.float32)
-                    ohl1 = pltpu.roll(ohl0, 1, 0)
-                    a0 = jnp.where(subm, jnp.broadcast_to(wmc * g0t, (8, 128)),
-                                   0.0)
-                    a1 = jnp.where(subm, jnp.broadcast_to(wmc * g1t, (8, 128)),
-                                   0.0)
+                    # de-interleaved scatter: f0 targets sublanes 0-3,
+                    # f1 sublanes 4-7, SAME lane -> one one-hot dot
+                    subm0 = iota8 == jnp.broadcast_to(sub, (8, 128))
+                    subm1 = iota8 == jnp.broadcast_to(sub + 4, (8, 128))
+                    ohl = (iota128 == jnp.broadcast_to(lane, (128, 128))
+                           ).astype(jnp.float32)
+                    a = (
+                        jnp.where(subm0,
+                                  jnp.broadcast_to(wmc * g0t, (8, 128)), 0.0)
+                        + jnp.where(subm1,
+                                    jnp.broadcast_to(wmc * g1t, (8, 128)), 0.0)
+                    )
                     dwin = dwin + jax.lax.dot_general(
-                        a0, ohl0, dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                    dwin = dwin + jax.lax.dot_general(
-                        a1, ohl1, dimension_numbers=(((1,), (1,)), ((), ())),
+                        a, ohl, dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32)
                     # regather for dL/dpoints
-                    f0 = _win_gather(win8, flat)
-                    f1 = _win_gather(win8, flat + 1)
+                    f0, f1 = _win_gather2(win_d, lane, sub)
                     gd = (f0 * g0t + f1 * g1t) * mt  # (1,128)
                     du0 = du0 + gd * (
                         sx[cc:cc + 1, :] * wy[cc:cc + 1, :]
@@ -730,7 +795,8 @@ def _run_fwd(stream: SortedStream, features, resolutions):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((NC, L, 2, CHUNK), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((L, BLOCK_SUB, 128), jnp.float32),
+            pltpu.VMEM((L, BLOCK_SUB, 128), jnp.float32),  # slab
+            pltpu.VMEM((L, BLOCK_SUB, 128), jnp.float32),  # slab_d
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
         ],
@@ -769,8 +835,10 @@ def _run_bwd(stream: SortedStream, features, resolutions, g_sorted):
             jax.ShapeDtypeStruct((NC, 8, CHUNK), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((L, BLOCK_SUB, 128), jnp.float32),
-            pltpu.VMEM((L, BLOCK_SUB, 128), jnp.float32),
+            pltpu.VMEM((L, BLOCK_SUB, 128), jnp.float32),  # slab
+            pltpu.VMEM((L, BLOCK_SUB, 128), jnp.float32),  # slab_d
+            pltpu.VMEM((L, BLOCK_SUB, 128), jnp.float32),  # daccs (deint)
+            pltpu.VMEM((L, BLOCK_SUB, 128), jnp.float32),  # stage
             pltpu.VMEM((8, CHUNK), jnp.float32),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA(()),

@@ -105,23 +105,30 @@ def test_bg_seam_continuity():
 
 
 def test_render_sharded_matches_single():
-    """Ray-sharded SPMD render == single-device render (8 CPU devices)."""
+    """Ray-sharded SPMD render == single-device render (8 CPU devices),
+    for both the staged oracle and the windowed Pallas backend (the
+    windowed path's pallas_call + local sorts must work under
+    shard_map)."""
     from jax.sharding import Mesh
 
     scene = make_scene(seed=5)
     rng = np.random.RandomState(4)
     rays_o = jnp.asarray(rng.randn(32, 3).astype(np.float32) * 0.3)
     rays_d = jnp.asarray(rng.randn(32, 3).astype(np.float32))
-    kw = dict(num_sample=8, num_bg_sample=4, num_march=16, backend="xla")
     mesh = Mesh(np.array(jax.devices()), ("rays",))
-    a = renderer.render_rays(scene, rays_o, rays_d, **kw)
-    b = renderer.render_rays_sharded(scene, rays_o, rays_d, mesh, **kw)
-    np.testing.assert_allclose(
-        np.asarray(a["rgb"]), np.asarray(b["rgb"]), atol=1e-5
-    )
-    np.testing.assert_allclose(
-        np.asarray(a["depth"]), np.asarray(b["depth"]), atol=1e-4
-    )
+    for backend in ("xla", "windowed"):
+        kw = dict(num_sample=8, num_bg_sample=4, num_march=16,
+                  backend=backend)
+        a = renderer.render_rays(scene, rays_o, rays_d, **kw)
+        b = renderer.render_rays_sharded(scene, rays_o, rays_d, mesh, **kw)
+        np.testing.assert_allclose(
+            np.asarray(a["rgb"]), np.asarray(b["rgb"]), atol=1e-5,
+            err_msg=backend,
+        )
+        np.testing.assert_allclose(
+            np.asarray(a["depth"]), np.asarray(b["depth"]), atol=1e-4,
+            err_msg=backend,
+        )
 
 
 def test_multi_table_stream_matches_per_table():
