@@ -161,7 +161,9 @@ def hash_encode_windowed_ref(
             cf[None] * off[:, None, :] + (1 - cf[None]) * (1 - off[:, None, :]),
             axis=-1,
         )  # [N, 8]
-        gathered = table[idx]  # [N, 8, F]
+        # widen bf16 inference tables before the weighted sum (matches
+        # the kernel, which widens at slab load)
+        gathered = table[idx].astype(jnp.float32)  # [N, 8, F]
         return jnp.sum(wgt[..., None] * gathered, axis=1)  # [N, F]
 
     encode_level = jax.checkpoint(one_level)
@@ -612,7 +614,12 @@ def _fwd_kernel(res_ref, meta_ref, pts_ref, feat_hbm, out_ref,
             feat_hbm.at[:, pl.ds(boc * BLOCK_SUB, BLOCK_SUB), :], slab, sem)
         dma.start()
         dma.wait()
-        _relayout_slab(slab, slab_d, L, _deinterleave_window)
+        # bf16 tables (inference): the slab arrives half-width and is
+        # widened during the per-block relayout; compute stays f32
+        _relayout_slab(
+            slab, slab_d, L,
+            lambda w: _deinterleave_window(w.astype(jnp.float32)),
+        )
 
     wmins = [meta_ref[0, t, 1] for t in range(SUBT)]
     spans = [meta_ref[0, t, 2] for t in range(SUBT)]
@@ -779,6 +786,7 @@ def _features_tiled(features: jax.Array) -> jax.Array:
 def _run_fwd(stream: SortedStream, features, resolutions):
     L, H, F = features.shape
     NC = stream.pts.shape[0]
+    assert features.dtype in (jnp.float32, jnp.bfloat16), features.dtype
     feat_t = _features_tiled(features)
     out = pl.pallas_call(
         _fwd_kernel,
@@ -795,7 +803,9 @@ def _run_fwd(stream: SortedStream, features, resolutions):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((NC, L, 2, CHUNK), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((L, BLOCK_SUB, 128), jnp.float32),  # slab
+            # slab arrives in the table dtype (f32 training tables or
+            # bf16 inference tables); slab_d is always widened f32
+            pltpu.VMEM((L, BLOCK_SUB, 128), features.dtype),  # slab
             pltpu.VMEM((L, BLOCK_SUB, 128), jnp.float32),  # slab_d
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
@@ -809,6 +819,8 @@ def _run_fwd(stream: SortedStream, features, resolutions):
 def _run_bwd(stream: SortedStream, features, resolutions, g_sorted):
     L, H, F = features.shape
     NC = stream.pts.shape[0]
+    assert features.dtype == jnp.float32, (
+        "bf16 tables are inference-only (no backward)")
     feat_t = _features_tiled(features)
     g_k = g_sorted.reshape(NC, CHUNK, L, 2).transpose(0, 2, 3, 1)
 

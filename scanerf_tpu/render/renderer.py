@@ -551,7 +551,10 @@ def _render_windowed(
     ])
 
     stream = hw.sort_pack_tables(X, DIR, TID, H, T)
-    feat_flat = scene.features.astype(jnp.float32).transpose(1, 0, 2, 3).reshape(L, T * H, F)
+    # tables stay in the scene dtype: load_scene(dtype=jnp.bfloat16)
+    # keeps them half-width through the kernel's slab DMA (widened to
+    # f32 in-kernel at relayout) — half the HBM footprint and traffic
+    feat_flat = scene.features.transpose(1, 0, 2, 3).reshape(L, T * H, F)
     res0 = scene.resolutions[0]
     feats_s = hw.hash_lookup_sorted(
         stream.pts, stream.meta, stream.visited, feat_flat, res0
