@@ -451,7 +451,11 @@ def sample_patches(key: jax.Array, H: int, W: int, num_patch: int):
     return ray_idx, pixel_locs
 
 
-@partial(jax.jit, static_argnames=("tc", "tx"))
+# donate the state: without it the old AND new TrainState (hash table +
+# both Adam moments = 3 table-sized buffers) are live simultaneously,
+# which is what keeps the reference-default 2^24 tables from fitting a
+# 16G chip
+@partial(jax.jit, static_argnames=("tc", "tx"), donate_argnames=("state",))
 def train_step(
     state: TrainState,
     data: TileData,
