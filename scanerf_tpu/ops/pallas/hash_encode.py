@@ -623,6 +623,9 @@ def _fwd_kernel(res_ref, meta_ref, pts_ref, feat_hbm, out_ref,
 
     wmins = [meta_ref[0, t, 1] for t in range(SUBT)]
     spans = [meta_ref[0, t, 2] for t in range(SUBT)]
+    # global window id of the feature shard's window 0 (table-parallel:
+    # each device holds a contiguous block range; 0 when unsharded)
+    wbase = meta_ref[0, 0, 3]
 
     def level_body(l, _):
         for t in range(SUBT):  # static: sequencer iteration cost dominates
@@ -636,7 +639,7 @@ def _fwd_kernel(res_ref, meta_ref, pts_ref, feat_hbm, out_ref,
                        wmin_t=wmin_t):
                 s0, s1 = carry
                 w = wmin_t + k
-                wl = w - boc * WB
+                wl = w - wbase - boc * WB
                 win_d = slab_d[l, pl.ds(wl * WIN_SUB, WIN_SUB), :]  # (8,128)
                 mt = (widf_t == w.astype(jnp.float32)).astype(jnp.float32)
                 for cc in range(8):
@@ -701,6 +704,7 @@ def _bwd_kernel(res_ref, meta_ref, pts_ref, g_ref, feat_hbm,
 
     wmins = [meta_ref[0, t, 1] for t in range(SUBT)]
     spans = [meta_ref[0, t, 2] for t in range(SUBT)]
+    wbase = meta_ref[0, 0, 3]
 
     def level_body(l, _):
         for t in range(SUBT):  # static: sequencer iteration cost dominates
@@ -717,7 +721,7 @@ def _bwd_kernel(res_ref, meta_ref, pts_ref, g_ref, feat_hbm,
                 du0, du1, du2 = carry
                 wx, wy, wz, sx, sy, sz, rx, ry, rz = aux
                 w = wmin_t + k
-                wl = w - boc * WB
+                wl = w - wbase - boc * WB
                 win_d = slab_d[l, pl.ds(wl * WIN_SUB, WIN_SUB), :]
                 mt = (widf_t == w.astype(jnp.float32)).astype(jnp.float32)
                 dwin = jnp.zeros((8, 128), jnp.float32)

@@ -1,0 +1,112 @@
+"""Table parallelism: shard one tile's hash table across a mesh axis.
+
+The reference default trains 2^24-entry tables per level
+(``config/default.yaml`` HASHGRID.LOG2_HASHMAP_SIZE) — with Adam moments
+that is ~6 GB of f32 state per tile, which does not fit a 16 GB chip
+next to the step's transients. The reference fits it on a 32 GB V100;
+this module goes further and SHARDS the table (something the reference's
+one-process-per-tile design cannot do at all).
+
+The windowed hash layout makes this natural: the table is already
+partitioned into window BLOCKS, the sorted point stream is block-aligned
+(every 1024-point chunk lies inside one block), and block visits are
+monotone. So:
+
+- ``features`` shards along H into contiguous block ranges
+  (``P(None, "table", None)``) — table, gradients, and optimizer moments
+  all scale 1/n_devices,
+- the (replicated) stream runs on every device, but chunks whose block
+  another device owns get ``span = 0`` in their meta — the kernel skips
+  their gather loops entirely and emits zeros, so lookup COMPUTE also
+  balances across devices,
+- each point's features are produced by exactly one device; a single
+  ``psum`` over the axis combines them,
+- the backward needs NO communication for the table gradient (each
+  device owns its blocks); point gradients combine through shard_map's
+  replicated-input transpose.
+
+Cost: the sorts and the decoder run replicated (this axis buys MEMORY
+and lookup balance, not sort throughput); combine with the ``tiles``
+axis in a 2D mesh for scale-out.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from scanerf_tpu.ops.pallas import hash_encode as hw
+
+
+def shard_features(features: jax.Array, mesh: Mesh, axis: str = "table"):
+    """Place [L, H, F] features H-sharded over ``axis``."""
+    return jax.device_put(
+        features, NamedSharding(mesh, P(None, axis, None))
+    )
+
+
+def localize_meta(meta, visited, dev_idx, nb_local):
+    """Restrict a stream's meta to the device's block range
+    [dev_idx*nb_local, (dev_idx+1)*nb_local).
+
+    Chunks outside the range get span=0 (the kernel skips their windows
+    and writes zeros) and a boc clamped into range (keeps the slab DMA
+    in bounds and block visits monotone); owned chunks get a local boc
+    and the global window id of the shard's window 0 in the meta's
+    fourth field (the kernel's ``wbase``)."""
+    b0 = dev_idx * nb_local
+    boc = meta[:, :, 0]
+    owned = (boc >= b0) & (boc < b0 + nb_local)
+    boc_loc = jnp.clip(boc - b0, 0, nb_local - 1)
+    span = jnp.where(owned, meta[:, :, 2], 0)
+    wbase = jnp.full_like(boc, b0 * hw.WB)
+    meta_loc = jnp.stack([boc_loc, meta[:, :, 1], span, wbase], axis=-1)
+    visited_loc = jax.lax.dynamic_slice_in_dim(
+        visited, b0, nb_local, axis=0
+    )
+    return meta_loc, visited_loc
+
+
+def encode_table_parallel(
+    x: jax.Array,
+    dirs: jax.Array,
+    features: jax.Array,  # [L, H, F], H sharded over ``axis``
+    resolutions: jax.Array,
+    mesh: Mesh,
+    axis: str = "table",
+):
+    """Windowed hash encode with the table sharded over ``axis``.
+
+    Returns features in ORIGINAL point order [N, L*F]. Differentiable in
+    x, dirs, and features (the feature cotangent comes back with the
+    same sharding — ready for a sharded optimizer).
+    """
+    N = x.shape[0]
+    L, H, F = features.shape
+    n_dev = mesh.shape[axis]
+    _, NB, _ = hw.geometry(H)
+    assert NB % n_dev == 0, (NB, n_dev)
+    nb_local = NB // n_dev
+
+    stream = hw.sort_pack(x, dirs, H)
+
+    def local_fn(pts, meta, pidp, inv_full, visited, feat_local):
+        idx = jax.lax.axis_index(axis)
+        meta_loc, visited_loc = localize_meta(meta, visited, idx, nb_local)
+        feats = hw.hash_lookup_sorted(
+            pts, meta_loc, visited_loc, feat_local, resolutions
+        )
+        feats = jax.lax.psum(feats, axis)  # one owner per point
+        return hw.unsort_rows(feats, pidp, inv_full, N)
+
+    return jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(None, axis, None)),
+        out_specs=P(),
+        check_vma=False,
+    )(stream.pts, stream.meta, stream.pidp, stream.inv_full,
+      stream.visited, features)
