@@ -101,22 +101,31 @@ def main():
     rgb_only = measure(
         dict(w_warp=0.0, w_depth=0.0, w_smooth=0.0, rho=0.0)
     )
-    # reference config/default.yaml LOSS block + RHO
-    full = measure(
-        dict(w_warp=1.0, w_depth=0.01, w_smooth=0.001, rho=100.0,
-             warp_start=0)
-    )
-    print(
-        json.dumps(
-            {
-                "metric": "training_rays_per_sec_full_recipe",
-                "value": round(full, 1),
-                "unit": "rays/s",
-                "vs_baseline": round(full / 5e6, 4),
-                "rgb_only_rays_per_sec": round(rgb_only, 1),
-            }
+    # reference config/default.yaml LOSS block + RHO. The attached
+    # fabric occasionally wedges mid-session (PERF.md); if the second,
+    # larger compile dies, still report the rgb-only measurement so the
+    # run records SOMETHING comparable.
+    try:
+        full = measure(
+            dict(w_warp=1.0, w_depth=0.01, w_smooth=0.001, rho=100.0,
+                 warp_start=0)
         )
-    )
+        out = {
+            "metric": "training_rays_per_sec_full_recipe",
+            "value": round(full, 1),
+            "unit": "rays/s",
+            "vs_baseline": round(full / 5e6, 4),
+            "rgb_only_rays_per_sec": round(rgb_only, 1),
+        }
+    except Exception as e:  # pragma: no cover - fabric failure path
+        out = {
+            "metric": "training_rays_per_sec_rgb_only",
+            "value": round(rgb_only, 1),
+            "unit": "rays/s",
+            "vs_baseline": round(rgb_only / 5e6, 4),
+            "full_recipe_error": type(e).__name__,
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -86,7 +86,9 @@ def main():
                 ssims.append(s)
                 line = f"{i}\tPSNR {p:.4f}\tSSIM {s:.4f}"
                 if lp.available:
-                    v = lp(out["rgb"], gt[..., ::-1])  # gt is BGR
+                    # the model trains on BGR-loaded images (data/io.py)
+                    # and gt comes from cv2 as BGR — flip BOTH to RGB
+                    v = lp(out["rgb"][..., ::-1], gt[..., ::-1])
                     lpipss.append(v)
                     line += f"\tLPIPS {v:.4f}"
                 with open(metric_path, "a") as f:

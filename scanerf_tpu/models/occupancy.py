@@ -44,19 +44,23 @@ def prune_occupancy(
     state: FieldState,
     step: int,
     finest_resolution: np.ndarray,
-    sub_split: bool,
+    sub_split: bool | int,
     pruning_th: float,
     chunk_cells: int = 4096,
     backend: str = "xla",
 ) -> FieldState:
     """Return a new FieldState with the re-derived occupancy grid.
 
-    Mirrors pruning_tile_grid semantics (:139-214): target log2dim is the
-    current one (+1 if sub_split); internal sample lattice per cell is
+    Mirrors pruning_tile_grid semantics (:139-214): ``sub_split`` is the
+    number of 2x-per-axis subdivisions toward the target log2dim (the
+    ladder can jump several rungs between events, e.g. the default
+    GRID_LOG2DIM=[4..9] with ADJUST_STEP=2000 targets log2dim 6 at the
+    first 5000-step event — two doublings at once); internal sample
+    lattice per cell is
     ((finest/4 if step<10000 else finest/2) / 2) / grid_resolution.
     """
     grid = np.asarray(state.occupied_grid)
-    if sub_split:
+    for _ in range(int(sub_split)):
         grid = (
             grid.repeat(2, axis=0).repeat(2, axis=1).repeat(2, axis=2)
         )
@@ -130,12 +134,18 @@ class PruningSchedule:
         self.dynamic_end = total_step - 10000 if total_step else None
         self._last_log2dim = self.log2dims[0]
 
-    def should_prune(self, step: int) -> bool:
-        if step == 0 or step % self.dynamic_step != 0:
+    def should_prune(self, step: int, round_size: int = 1) -> bool:
+        """True when a dynamic_step multiple falls inside the round
+        (step - round_size, step]. The trainer only observes round
+        boundaries (every SYN_ITERS steps), which need not divide 5000 —
+        checking exact multiples would silently skip events
+        (the reference checks every step, tile.py:866)."""
+        if step <= 0:
             return False
-        if self.dynamic_end is not None and step > self.dynamic_end:
+        if self.dynamic_end is not None and step - round_size >= self.dynamic_end:
             return False
-        return True
+        lo = max(step - round_size, 0)
+        return step // self.dynamic_step > lo // self.dynamic_step
 
     def params_at(self, step: int) -> tuple[int, float]:
         """(log2dim, threshold) of the event at ``step`` (tile.py:869-872)."""
@@ -143,10 +153,11 @@ class PruningSchedule:
         j = min(step // self.adjust_step, len(self.ths) - 1)
         return self.log2dims[i], self.ths[j]
 
-    def next_at(self, step: int) -> tuple[bool, float]:
-        """(sub_split, threshold) for this event; remembers the rung so
-        sub_split is True exactly when the grid resolution increases."""
+    def next_at(self, step: int) -> tuple[int, float]:
+        """(n_subdivisions, threshold) for this event: how many 2x
+        splits bring the grid from the last applied rung to the target
+        (the ladder can jump several rungs between events)."""
         log2dim, th = self.params_at(step)
-        sub_split = log2dim > self._last_log2dim
-        self._last_log2dim = log2dim
-        return sub_split, th
+        n_split = max(log2dim - self._last_log2dim, 0)
+        self._last_log2dim = max(log2dim, self._last_log2dim)
+        return n_split, th

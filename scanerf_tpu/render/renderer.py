@@ -117,28 +117,44 @@ def build_union_grid(
     scene load — the same re-rasterization across mutually-misaligned
     grids that ``process_occupied_grid`` performs tile-to-tile."""
     T = occupied.shape[0]
-    inner_c = block_corner + block_size / 4.0
-    inner_s = block_size / 2.0
+    inner_c = (block_corner + block_size / 4.0).astype(np.float64)
+    inner_s = (block_size / 2.0).astype(np.float64)
     res = np.array(occupied.shape[1:], np.float64)
+    resi = res.astype(np.int64)
     cell = (inner_s / res).min(axis=0)  # finest pitch per axis
     lo = inner_c.min(axis=0)
     hi = (inner_c + inner_s).max(axis=0)
     G = np.maximum(np.ceil((hi - lo) / cell - 1e-6).astype(np.int64), 1)
-    gx, gy, gz = [
-        lo[i] + (np.arange(G[i]) + 0.5) * cell[i] for i in range(3)
-    ]
-    centers = np.stack(
-        np.meshgrid(gx, gy, gz, indexing="ij"), -1
-    ).reshape(-1, 3)
-    occ = np.zeros(len(centers), bool)
+    occ = np.zeros(tuple(G), bool)
+    # fill each tile's sub-box only (tile-size bounded) — a dense global
+    # center list is O(Gx*Gy*Gz) host memory and blows up at city scale
     for t in range(T):
-        u = (centers - inner_c[t]) / inner_s[t]
-        inb = np.all((u >= 0) & (u < 1), axis=-1)
-        c = np.clip((u[inb] * res).astype(np.int64), 0, res.astype(np.int64) - 1)
-        occ[inb] |= occupied[t][c[:, 0], c[:, 1], c[:, 2]]
-    return occ.reshape(tuple(G)), lo.astype(np.float32), (
-        G * cell
-    ).astype(np.float32)
+        i0 = np.clip(
+            np.floor((inner_c[t] - lo) / cell).astype(np.int64), 0, G - 1
+        )
+        i1 = np.clip(
+            np.ceil((inner_c[t] + inner_s[t] - lo) / cell).astype(np.int64),
+            0, G,
+        )
+        axes = [
+            lo[d] + (np.arange(i0[d], i1[d]) + 0.5) * cell[d] for d in range(3)
+        ]
+        # per-axis tile-cell indices of the sub-box centers
+        ui = [
+            (np.asarray(axes[d]) - inner_c[t][d]) / inner_s[t][d]
+            for d in range(3)
+        ]
+        inb = [
+            (ui[d] >= 0) & (ui[d] < 1) for d in range(3)
+        ]
+        ci = [
+            np.clip((ui[d] * res[d]).astype(np.int64), 0, resi[d] - 1)
+            for d in range(3)
+        ]
+        sub = occupied[t][np.ix_(ci[0], ci[1], ci[2])]
+        sub &= inb[0][:, None, None] & inb[1][None, :, None] & inb[2][None, None, :]
+        occ[i0[0]:i1[0], i0[1]:i1[1], i0[2]:i1[2]] |= sub
+    return occ, lo.astype(np.float32), (G * cell).astype(np.float32)
 
 
 def load_scene(tile_dirs: list[str], dtype=jnp.float32) -> MultiTileScene:
@@ -703,7 +719,7 @@ def render_rays(
 
 @partial(jax.jit, static_argnames=(
     "num_sample", "num_bg_sample", "num_march", "invalid_underground",
-    "backend", "mesh",
+    "backend", "mesh", "max_blend_tiles",
 ))
 def render_rays_sharded(
     scene: MultiTileScene,
@@ -715,6 +731,7 @@ def render_rays_sharded(
     num_march: int = 512,
     invalid_underground: bool = False,
     backend: str = "auto",
+    max_blend_tiles: int = MAX_PTS_BLOCKS,
 ) -> dict[str, jax.Array]:
     """Multi-chip render: rays shard over the mesh's ``rays`` axis, the
     scene replicates, every device renders its slice independently (the
@@ -732,7 +749,7 @@ def render_rays_sharded(
         _render_rays_impl,
         num_sample=num_sample, num_bg_sample=num_bg_sample,
         num_march=num_march, invalid_underground=invalid_underground,
-        backend=backend,
+        backend=backend, max_blend_tiles=max_blend_tiles,
     )
     shmap = shard_map(
         fn, mesh=mesh,

@@ -518,6 +518,7 @@ def render_depth_batch(
     W: int,
     tc: TrainConfig,
     chunk: int = 2**14,
+    k_scale=1.0,
 ) -> np.ndarray:
     """Depth maps for several views in ONE chunked ray stream.
 
@@ -525,15 +526,24 @@ def render_depth_batch(
     refresh (render_shared_depth, tile.py:432-475) does
     ceil(V*H*W/chunk) dispatches instead of V*ceil(H*W/chunk) — the
     per-view loop is what made the refresh host-serial at MAX_POSES
-    scale. Returns [V, H, W] float32.
+    scale. ``k_scale`` (scalar or (sx, sy)) scales the intrinsics rows
+    so a downscaled H x W render covers the SAME field of view as the
+    native camera (pass the per-axis resolution ratios, e.g. W_low/W
+    and H_low/H). Returns [V, H, W] f32.
     """
     from scanerf_tpu.utils import rays as rays_mod
 
+    sx, sy = (k_scale, k_scale) if np.isscalar(k_scale) else k_scale
     xy = rays_mod.pixel_grid(H, W)
     rts = cam_lib.get_rts(cams, state.params.se3_refine)
+    scale = jnp.asarray(
+        [[sx, sx, sx], [sy, sy, sy], [1.0, 1.0, 1.0]], jnp.float32
+    )
     all_o, all_d = [], []
     for vi in view_idxs:
-        o, d = rays_mod.get_center_and_ray(xy, rts[vi], cams.ks[vi])
+        o, d = rays_mod.get_center_and_ray(
+            xy, rts[vi], cams.ks[vi] * scale
+        )
         all_o.append(o)
         all_d.append(d)
     rays_o = jnp.concatenate(all_o)

@@ -292,7 +292,7 @@ class Trainer:
                         f"dual_residual: {float(aux.dual_residual):.8f}\n"
                     )
 
-            if self.pruning.should_prune(step):
+            if self.pruning.should_prune(step, round_size=syn):
                 tiles, round_fn = self._prune(tiles, mesh, syn, step)
 
             update_mask_step = int(cfg.get("UPDATE_MASK_STEP", 10000))
@@ -327,7 +327,7 @@ class Trainer:
         round_fn = tp.build_admm_round(
             mesh, self.tc, self.tx, syn, self.num_global_cams
         )
-        print(f"step {step}: pruned occupancy (sub_split={sub_split}, th={th})")
+        print(f"step {step}: pruned occupancy (n_split={sub_split}, th={th})")
         return tiles, round_fn
 
     def _refresh_occlusion_masks(self, tiles, data):
@@ -368,6 +368,11 @@ class Trainer:
                 s, cams, [li for li, _ in inside], H // 2, W // 2,
                 dataclass_replace(self.tc, num_march=min(self.tc.num_march, 256)),
                 chunk=2**14,
+                # scale intrinsics to the half-res raster: without this
+                # the half-res grid covers only the top-left quadrant of
+                # the image plane (review finding); per-axis ratios keep
+                # odd native resolutions exact
+                k_scale=((W // 2) / W, (H // 2) / H),
             )
             for k, (_, gv) in enumerate(inside):
                 shared_depth[gv] = depths[k]
@@ -402,9 +407,17 @@ class Trainer:
                 b = np.asarray(
                     ray_aabb(o, rd, jnp.asarray(center), jnp.asarray(half))
                 )
-                depth = np.kron(
-                    shared_depth[gv], np.ones((2, 2), np.float32)
-                )[:H, :W].reshape(-1)
+                up = np.repeat(
+                    np.repeat(shared_depth[gv], 2, axis=0), 2, axis=1
+                )
+                # odd native dims: 2*(H//2) = H-1 — edge-pad to full res
+                if up.shape[0] < H or up.shape[1] < W:
+                    up = np.pad(
+                        up,
+                        ((0, H - up.shape[0]), (0, W - up.shape[1])),
+                        mode="edge",
+                    )
+                depth = up[:H, :W].reshape(-1)
                 mask = (depth > b[:, 0]) & (b[:, 0] != -1)
                 mask = mask.reshape(H, W).astype(np.uint8)
                 # reference: dilate the INVALID region with a 91-box

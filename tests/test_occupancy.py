@@ -147,3 +147,50 @@ def test_inference_sigma_backend_matches_layout():
     np.testing.assert_allclose(
         np.asarray(s_win)[..., 0], np.asarray(want)[..., 0], rtol=1e-5
     )
+
+
+def test_pruning_multi_rung_jump_and_round_window():
+    """Review findings: (a) the ladder can jump several rungs between
+    5000-step events (default config: 4 -> 6 at the first event) and
+    next_at must report ALL the needed subdivisions; (b) the trainer
+    only sees round boundaries, so should_prune must fire when a
+    dynamic_step multiple falls anywhere inside the round."""
+    s = occupancy.PruningSchedule(
+        [4, 5, 6, 7, 8, 9], [0.1, 0.2, 0.3, 0.4], adjust_step=2000,
+        total_step=40000,
+    )
+    n, _ = s.next_at(5000)   # target log2dim 6: two doublings from 4
+    assert n == 2
+    n, _ = s.next_at(10000)  # target 9 (idx 5 clamped): three more
+    assert n == 3
+    n, _ = s.next_at(15000)
+    assert n == 0
+
+    s2 = occupancy.PruningSchedule([4], [0.1], 2000, total_step=40000)
+    # SYN_ITERS=300: boundaries 4800, 5100 — the 5000 event must fire
+    assert not s2.should_prune(4800, round_size=300)
+    assert s2.should_prune(5100, round_size=300)
+    assert not s2.should_prune(5400, round_size=300)
+    # events stop after dynamic_end = 30000
+    assert s2.should_prune(30000, round_size=300)
+    assert not s2.should_prune(35100, round_size=300)
+
+
+def test_prune_applies_multi_subdivision():
+    params, state = field_lib.create_field(
+        jax.random.PRNGKey(1),
+        bbox_corner=np.array([-1.0, -1.0, -1.0]),
+        bbox_size=np.array([2.0, 2.0, 2.0]),
+        log2_hashmap_size=10,
+        grid_resolution=(8, 64),
+        sampler_log2dim=3,
+    )
+    dec = dict(params.decoder)
+    dec["sigma"] = {"w": params.decoder["sigma"]["w"],
+                    "b": params.decoder["sigma"]["b"] + 10.0}
+    params = params.replace(decoder=dec)
+    out = occupancy.prune_occupancy(
+        params, state, step=12000, finest_resolution=np.array([64, 64, 64]),
+        sub_split=2, pruning_th=0.1,
+    )
+    assert np.asarray(out.occupied_grid).shape == (32, 32, 32)
