@@ -208,7 +208,7 @@ def _pack_kernel(meta_ref, src_hbm, pts_ref, pidp_ref, buf, sem0):
     HBM DMA lane offsets must be 128-aligned (Mosaic tiling), so the
     copy reads from the aligned-down offset with 128 extra lanes and
     realigns in-register: per 128-lane vreg tile, two one-vreg dynamic
-    lane gathers (same trick as ``_win_gather``) + a select. The source
+    lane gathers (same trick as ``_win_gather2``) + a select. The source
     carries pid as f32 in row 7 (exact below 2^24 — asserted by the
     caller), so one DMA serves all nine fields."""
     src_start = meta_ref[0, 0, 0]
@@ -517,20 +517,6 @@ def _corner_setup(res_ref, pts_ref, l, t):
     sz = jnp.where(czb, 1.0, -1.0)
     aux = (wx, wy, wz, sx, sy, sz, rx, ry, rz)
     return slot, w8, aux
-
-
-def _win_gather(win8, flat_c_t):
-    """win8 [8,128] window tile; flat_c_t (1,128) flat lane ids in
-    [0, 1024) -> values (1,128). One one-vreg lane gather
-    (tpu.dynamic_gather) + an 8-way sublane compare-select (a dynamic
-    sublane gather lowers poorly on this Mosaic)."""
-    lane = jnp.broadcast_to(flat_c_t & 127, (8, 128))
-    d = jnp.take_along_axis(win8, lane, axis=1)
-    sub = flat_c_t >> 7
-    e = d[0:1, :]
-    for sidx in range(1, 8):
-        e = jnp.where(sub == sidx, d[sidx:sidx + 1, :], e)
-    return e
 
 
 # --- de-interleaved window layout (kernel-internal) -----------------------

@@ -248,8 +248,18 @@ class Trainer:
         eval_step = int(cfg.get("EVAL_STEP", 1000))
         # independent mode still rounds at the eval cadence so periodic
         # eval renders / pose snapshots fire (the reference evaluates
-        # inside its train loop every 1000 steps, tile.py:810-864)
-        syn = cfg.SYN_ITERS if enable_admm else min(total, eval_step)
+        # inside its train loop every 1000 steps, tile.py:810-864).
+        # MAX_ROUND_STEPS caps the steps fused into ONE device dispatch:
+        # multi-minute dispatches get killed by the transport on some
+        # fabrics (observed as "TPU worker process crashed") and a cap
+        # costs only dispatch overhead (~ms) per boundary.
+        round_cap = int(cfg.get("MAX_ROUND_STEPS", 500))
+        if enable_admm:
+            # the round IS the consensus period — capping it would change
+            # ADMM semantics, so only warn via config choice
+            syn = cfg.SYN_ITERS
+        else:
+            syn = max(min(total, eval_step, round_cap), 1)
 
         mesh = tp.make_tile_mesh(self.mesh_devices)
         n_dev = len(mesh.devices.reshape(-1))
