@@ -250,10 +250,12 @@ class Trainer:
         # eval renders / pose snapshots fire (the reference evaluates
         # inside its train loop every 1000 steps, tile.py:810-864).
         # MAX_ROUND_STEPS caps the steps fused into ONE device dispatch:
-        # multi-minute dispatches get killed by the transport on some
-        # fabrics (observed as "TPU worker process crashed") and a cap
-        # costs only dispatch overhead (~ms) per boundary.
-        round_cap = int(cfg.get("MAX_ROUND_STEPS", 500))
+        # dispatches longer than ~1-2 minutes get killed by the transport
+        # on some fabrics (observed as "TPU worker process crashed"); the
+        # limit is wall-time, so the cap must hold for the EXPENSIVE
+        # full-recipe step too. A boundary costs only dispatch overhead
+        # (~ms).
+        round_cap = int(cfg.get("MAX_ROUND_STEPS", 100))
         if enable_admm:
             # the round IS the consensus period — capping it would change
             # ADMM semantics, so only warn via config choice
