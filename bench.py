@@ -21,6 +21,7 @@ where value is the FULL-RECIPE rays/sec and vs_baseline is value / 5e6
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -118,6 +119,9 @@ def main():
             "rgb_only_rays_per_sec": round(rgb_only, 1),
         }
     except Exception as e:  # pragma: no cover - fabric failure path
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
         out = {
             "metric": "training_rays_per_sec_rgb_only",
             "value": round(rgb_only, 1),

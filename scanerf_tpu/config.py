@@ -105,9 +105,11 @@ DEFAULTS: dict[str, Any] = {
         "NUM_BG_SAMPLE": 128,
         "TOTAL_STEP": 40000,
         "BG_MODE": "IZ",
-        # TPU hash backend: "xla" (global prime-XOR hash, reference
-        # semantics) or "windowed" (sorted-stream Pallas kernel)
-        "HASH_BACKEND": "xla",
+        # TPU hash backend: "windowed" (sorted-stream Pallas kernel —
+        # the production path, exact gradients, PSNR-neutral vs the
+        # global hash per the PERF.md quality A/B) or "xla" (global
+        # prime-XOR hash via XLA gather, reference semantics oracle)
+        "HASH_BACKEND": "windowed",
         "ETA": {"HASH_FEATURE": 1e-3, "DECODER": 1e-3, "CAM": 1e-4},
         "CAMOPT": {"ENABLE": True, "NOISE": 0.0, "START_STEPS": 0},
         "LOSS": {

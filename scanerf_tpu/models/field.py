@@ -146,6 +146,17 @@ def contract_bg(state: FieldState, x: jax.Array) -> jax.Array:
     return x * (temp / linf)
 
 
+def effective_backend(backend: str, H: int) -> str:
+    """Resolve the hash backend for a GLOBAL table size H: the windowed
+    layout needs >= one 32-window block of 512 entries; tiny tables
+    (tests, toy configs) use the global-hash XLA path, which is also
+    faster at such sizes. Export/pruning must use the SAME resolution so
+    the table layout tag stays consistent with how it was trained."""
+    if backend == "windowed" and H < 16384:
+        return "xla"
+    return backend
+
+
 def weight_feature(step: jax.Array, dtype=jnp.float32) -> jax.Array:
     """BARF per-level annealing weights [16] (:228-235)."""
     alpha = jnp.clip(step / 10000.0 * 8.0 + 8.0, 0.0, 16.0)
@@ -320,11 +331,22 @@ def _render_rays_windowed(
     invalid_underground: bool,
     num_march: int,
     bg_z: tuple[jax.Array, jax.Array, jax.Array] | None,
+    table_axis: str | None = None,
+    table_shards: int = 1,
+    bwd_onehot_bf16: bool = False,
 ) -> dict[str, jax.Array]:
     """TPU sorted-stream render: fg+bg points are merged into ONE
     windowed hash-encode call (``ops/pallas/hash_encode.py``); the
     decoder runs in the padded-sorted stream and only its 10 output
     channels are restored to ray order. Same outputs as render_rays.
+
+    ``table_axis``/``table_shards``: when set (and the call runs inside a
+    shard_map over that mesh axis), ``params.features`` is the LOCAL
+    [L, H/table_shards, F] shard of an H-sharded table (contiguous
+    window-block ranges, parallel/table_parallel.py); the lookup
+    restricts each device to its own blocks and one psum combines the
+    per-point features — memory and lookup compute scale 1/shards, the
+    rest of the pipeline runs replicated.
     """
     from scanerf_tpu.ops.pallas import hash_encode as hw
 
@@ -362,12 +384,36 @@ def _render_rays_windowed(
         jnp.broadcast_to(rays_d[:, None, :], (B, Sb, 3)).reshape(-1, 3),
     ], axis=0)
 
-    Htab = params.features.shape[1]
+    Htab = params.features.shape[1] * table_shards
     stream = hw.sort_pack(x, dirs, Htab)
-    feats_s = hw.hash_lookup_sorted(
-        stream.pts, stream.meta, stream.visited,
-        params.features, state.resolutions,
-    )  # [Np, 32]
+    if table_shards > 1:
+        from scanerf_tpu.parallel.table_parallel import (
+            complete_on_backward,
+            localize_meta,
+            psum_one_owner,
+        )
+
+        _, NB, _ = hw.geometry(Htab)
+        assert NB % table_shards == 0, (NB, table_shards)
+        dev = jax.lax.axis_index(table_axis)
+        meta_loc, visited_loc = localize_meta(
+            stream.meta, stream.visited, dev, NB // table_shards
+        )
+        # complete_on_backward: the kernel's dL/dpoints is per-device
+        # PARTIAL (owned chunks only) — psum it on the way back so pose
+        # gradients are complete; psum_one_owner: forward feature
+        # combine whose backward is identity (one producer per point)
+        pts_in = complete_on_backward(stream.pts, table_axis)
+        feats_s = hw.hash_lookup_sorted(
+            pts_in, meta_loc, visited_loc,
+            params.features, state.resolutions, bwd_onehot_bf16,
+        )
+        feats_s = psum_one_owner(feats_s, table_axis)
+    else:
+        feats_s = hw.hash_lookup_sorted(
+            stream.pts, stream.meta, stream.visited,
+            params.features, state.resolutions, bwd_onehot_bf16,
+        )  # [Np, 32]
     Np = feats_s.shape[0]
     dirs_s = stream.pts[:, 4:7, :].transpose(0, 2, 1).reshape(Np, 3)
     wf = jnp.repeat(weight_feature(step), 2, axis=-1)
@@ -431,19 +477,30 @@ def render_rays(
     stochastic_grad: bool = False,
     bg_z: tuple[jax.Array, jax.Array, jax.Array] | None = None,
     backend: str = "xla",
+    table_axis: str | None = None,
+    table_shards: int = 1,
+    bwd_onehot_bf16: bool = False,
 ) -> dict[str, jax.Array]:
     """fg + bg composite (``tile.py:639-692``). ``bg_z`` supplies
     precomputed BS-mode background samples (z, dists, valid).
 
     backend: "xla" = global prime-XOR hash via XLA gather (reference
     semantics); "windowed" = merged fg+bg sorted-stream Pallas kernel
-    (hierarchical window hash — the TPU production path)."""
+    (hierarchical window hash — the TPU production path).
+    table_axis/table_shards: H-sharded tables (windowed backend only;
+    see _render_rays_windowed)."""
+    backend = effective_backend(
+        backend, params.features.shape[1] * table_shards
+    )
     if backend == "windowed":
         return _render_rays_windowed(
             params, state, rays_o, rays_d, num_fg_sample, num_bg_sample,
             step, occlusion_mask, train, invalid_underground, num_march,
-            bg_z,
+            bg_z, table_axis=table_axis, table_shards=table_shards,
+            bwd_onehot_bf16=bwd_onehot_bf16,
         )
+    assert table_shards == 1, (
+        "table parallelism requires the windowed backend")
     fg = render_fore_rays(
         params, state, rays_o, rays_d, num_fg_sample, step,
         occlusion_mask=occlusion_mask, train=train, num_march=num_march,

@@ -142,10 +142,15 @@ class PruningSchedule:
         (the reference checks every step, tile.py:866)."""
         if step <= 0:
             return False
-        if self.dynamic_end is not None and step - round_size >= self.dynamic_end:
-            return False
         lo = max(step - round_size, 0)
-        return step // self.dynamic_step > lo // self.dynamic_step
+        if step // self.dynamic_step <= lo // self.dynamic_step:
+            return False
+        # gate on the event multiple itself, not the round boundary: the
+        # reference's per-step check is ``step <= dynamic_end``
+        # (tile.py:866), so an event multiple strictly past dynamic_end
+        # must not fire even when the round containing it starts before
+        m = (step // self.dynamic_step) * self.dynamic_step
+        return self.dynamic_end is None or m <= self.dynamic_end
 
     def params_at(self, step: int) -> tuple[int, float]:
         """(log2dim, threshold) of the event at ``step`` (tile.py:869-872)."""

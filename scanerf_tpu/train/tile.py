@@ -95,8 +95,23 @@ class TrainConfig:
     # Off by default for parity with the shipped trainer's dense Adam.
     sparse_adam: bool = False
     # "xla" = global prime-XOR hash via XLA gather (reference semantics);
-    # "windowed" = merged fg+bg sorted-stream Pallas kernel (TPU prod path)
+    # "windowed" = merged fg+bg sorted-stream Pallas kernel (TPU prod path).
+    # The YAML path (config.DEFAULTS / from_cfg) resolves to "windowed" —
+    # the production default; this DATACLASS default stays "xla" only for
+    # direct constructors (CPU tests and oracle comparisons, where the
+    # windowed kernel would run in slow Pallas interpret mode).
     hash_backend: str = "xla"
+    # >1 shards the hash table (and its Adam moments) along H over a
+    # "table" device-mesh axis (parallel/table_parallel.py) — the
+    # reference-default 2^24 tables don't fit one 16G chip with moments.
+    # Requires hash_backend="windowed" and the train step to run inside a
+    # shard_map over a mesh with a "table" axis of this size
+    # (tile_parallel.make_mesh(n_table=...)).
+    table_shards: int = 1
+    # backward one-hot scatter in bf16 with f32 accumulation (windowed
+    # backend; ops/pallas/hash_encode._bwd_kernel) — only the per-point
+    # weighted-gradient operand rounds (2^-8 relative)
+    hash_bwd_bf16: bool = False
 
     @classmethod
     def from_cfg(cls, cfg) -> "TrainConfig":
@@ -128,7 +143,9 @@ class TrainConfig:
             eta_cam=T.ETA.CAM,
             cam_enable=T.CAMOPT.ENABLE,
             cam_start_steps=T.CAMOPT.START_STEPS,
-            hash_backend=T.get("HASH_BACKEND", "xla"),
+            hash_backend=T.get("HASH_BACKEND", "windowed"),
+            table_shards=T.get("TABLE_SHARDS", 1),
+            hash_bwd_bf16=T.get("HASH_BWD_BF16", False),
             stochastic_hash_grad=T.get("STOCHASTIC_HASH_GRAD", False),
             warp_vis_sample=L.get("WARP_VIS_SAMPLE", 32),
             warp_vis_bg_sample=L.get("WARP_VIS_BG_SAMPLE", 32),
@@ -310,6 +327,9 @@ def compute_losses(
         stochastic_grad=tc.stochastic_hash_grad,
         bg_z=bg_z,
         backend=tc.hash_backend,
+        table_axis="table" if tc.table_shards > 1 else None,
+        table_shards=tc.table_shards,
+        bwd_onehot_bf16=tc.hash_bwd_bf16,
     )
     valid = out["fore_valid"] | out["bg_valid"]
 
@@ -382,9 +402,12 @@ def _warp_loss(params, field_state, data, out, gt_color, valid, stepf, tc):
     pts = rays_o + depth * rays_d  # grads -> depth -> field, and poses
 
     rts = cam_lib.get_rts(data.cameras, params.se3_refine)
+    # tiles with fewer cameras than the reference K=10 clamp K (the
+    # cost-threshold validity mask already rejects bad neighbors)
+    top_k = min(tc.warp_top_k, N_cam)
     nei_views, nei_valid = losses.view_selection(
         jax.lax.stop_gradient(pts), rays_o, rays_d,
-        data.cameras.ks, jax.lax.stop_gradient(rts), H, W, tc.warp_top_k,
+        data.cameras.ks, jax.lax.stop_gradient(rts), H, W, top_k,
     )
     grid, nei_o, nei_d, proj_depth = losses.project_to_neighbors(
         pts, data.cameras.ks, rts, nei_views
@@ -404,6 +427,8 @@ def _warp_loss(params, field_state, data, out, gt_color, valid, stepf, tc):
         train=False, invalid_underground=tc.invalid_underground,
         num_march=tc.warp_vis_march,
         backend=tc.hash_backend,
+        table_axis="table" if tc.table_shards > 1 else None,
+        table_shards=tc.table_shards,
     )
     # voxel size = max(tile_size / finest hash resolution) (warp_loss.py:150)
     voxel = jnp.max(
@@ -424,7 +449,7 @@ def _warp_loss(params, field_state, data, out, gt_color, valid, stepf, tc):
     score = score * ref_diffuse[:, None, :]
 
     pred_color = jnp.clip(out["pred_diffuse"] + out["pred_specular"], 0.0, 1.0)
-    return losses.warp_loss_value(pred_color, nei_color, score, valid, tc.warp_top_k)
+    return losses.warp_loss_value(pred_color, nei_color, score, valid, top_k)
 
 
 # ---------------------------------------------------------------------------

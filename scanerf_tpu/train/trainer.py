@@ -263,9 +263,13 @@ class Trainer:
         else:
             syn = max(min(total, eval_step, round_cap), 1)
 
-        mesh = tp.make_tile_mesh(self.mesh_devices)
-        n_dev = len(mesh.devices.reshape(-1))
-        # pad tile count to a multiple of the device count
+        mesh = tp.make_tile_mesh(
+            self.mesh_devices, n_table=self.tc.table_shards
+        )
+        self.mesh = mesh
+        # pad tile count to a multiple of the TILE-axis size (the table
+        # axis shares one tile's work; it does not consume tiles)
+        n_dev = int(mesh.shape["tiles"])
         while len(self.states) % n_dev != 0:
             self.states.append(self.states[-1])
             self.datas.append(self.datas[-1])
@@ -278,7 +282,8 @@ class Trainer:
         tiles, data = tp.shard_parallel(mesh, tiles, data)
 
         round_fn = tp.build_admm_round(
-            mesh, self.tc, self.tx, syn, self.num_global_cams
+            mesh, self.tc, self.tx, syn, self.num_global_cams,
+            tiles_example=tiles,
         )
         key = jax.random.PRNGKey(cfg.SEED)
         step = int(tiles.state.step[0])
@@ -329,7 +334,11 @@ class Trainer:
             finest = np.asarray(s.field_state.resolutions[-1])
             fs = occupancy_lib.prune_occupancy(
                 s.params.field, s.field_state, step, finest, sub_split, th,
-                backend=self.tc.hash_backend,
+                # features here are global-shaped (outside shard_map), so
+                # H is already the full table size
+                backend=field_lib.effective_backend(
+                    self.tc.hash_backend, s.params.field.features.shape[1]
+                ),
             )
             new_states.append(s.replace(field_state=fs))
         n_pad = tiles.cam_map.shape[0] - len(new_states)
@@ -337,7 +346,8 @@ class Trainer:
         stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *new_states)
         tiles = tiles.replace(state=stacked)
         round_fn = tp.build_admm_round(
-            mesh, self.tc, self.tx, syn, self.num_global_cams
+            mesh, self.tc, self.tx, syn, self.num_global_cams,
+            tiles_example=tiles,
         )
         print(f"step {step}: pruned occupancy (n_split={sub_split}, th={th})")
         return tiles, round_fn
@@ -443,9 +453,7 @@ class Trainer:
         n_pad = tiles.cam_map.shape[0] - len(new_datas)
         stack = new_datas + [new_datas[-1]] * n_pad
         new_data = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *stack)
-        _, new_data = tp.shard_parallel(
-            tp.make_tile_mesh(self.mesh_devices), tiles, new_data
-        )
+        _, new_data = tp.shard_parallel(self.mesh, tiles, new_data)
         print(f"refreshed occlusion masks from {len(shared_depth)} shared depths")
         return new_data
 
@@ -510,12 +518,12 @@ class Trainer:
             n_real = len(self.view_lists[i])
             cams = _slice_cams(self.datas[i].cameras, n_real)
             s_real = _slice_state_cams(s, n_real)
+            eff = field_lib.effective_backend(
+                self.tc.hash_backend, s.params.field.features.shape[1]
+            )
             ckpt_lib.export_tile(
                 out_dir, s_real, cams, self.view_lists[i],
-                hash_layout=(
-                    "windowed" if self.tc.hash_backend == "windowed"
-                    else "global"
-                ),
+                hash_layout="windowed" if eff == "windowed" else "global",
             )
             ckpt_lib.save_checkpoint(
                 ckpt_lib.checkpoint_path(self.logdir, int(s.step), tile_idx),

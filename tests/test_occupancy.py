@@ -175,6 +175,16 @@ def test_pruning_multi_rung_jump_and_round_window():
     assert s2.should_prune(30000, round_size=300)
     assert not s2.should_prune(35100, round_size=300)
 
+    # ADVICE r2: an event multiple strictly past dynamic_end must not
+    # fire even when the round containing it starts before dynamic_end
+    # (TOTAL_STEP=19950 -> dynamic_end=9950; the 10000 multiple is out)
+    s3 = occupancy.PruningSchedule([4], [0.1], 2000, total_step=19950)
+    assert not s3.should_prune(10000, round_size=100)
+    assert s3.should_prune(5000, round_size=100)
+    # inclusive end: a multiple exactly at dynamic_end fires
+    s4 = occupancy.PruningSchedule([4], [0.1], 2000, total_step=20000)
+    assert s4.should_prune(10050, round_size=100)
+
 
 def test_prune_applies_multi_subdivision():
     params, state = field_lib.create_field(
