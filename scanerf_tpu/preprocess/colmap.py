@@ -87,6 +87,36 @@ def read_images_binary(path: str) -> dict[int, ColmapImage]:
     return out
 
 
+@dataclass
+class ColmapPoint3D:
+    id: int
+    xyz: np.ndarray  # [3]
+    rgb: np.ndarray  # [3] uint8
+    error: float
+    image_ids: np.ndarray  # [track_len] int32
+
+
+def read_points3d_binary(path: str) -> dict[int, ColmapPoint3D]:
+    """points3D.bin (COLMAP documented format): id, xyz, rgb, error,
+    track (image_id, point2D_idx) pairs — point2D indices are skipped
+    (``tools/poses/colmap_read_model.py:read_points3d_binary``)."""
+    out = {}
+    with open(path, "rb") as f:
+        (n,) = _read(f, "<Q")
+        for _ in range(n):
+            pid, x, y, z, r, g, b, err = _read(f, "<QdddBBBd")
+            (track_len,) = _read(f, "<Q")
+            elems = _read(f, f"<{2 * track_len}i")
+            out[pid] = ColmapPoint3D(
+                int(pid),
+                np.array([x, y, z]),
+                np.array([r, g, b], np.uint8),
+                float(err),
+                np.array(elems[0::2], np.int32),
+            )
+    return out
+
+
 def qvec2rotmat(q: np.ndarray) -> np.ndarray:
     w, x, y, z = q
     return np.array(

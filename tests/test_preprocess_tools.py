@@ -105,3 +105,86 @@ def test_pose_paths(tmp_path):
     pose_paths.write_render_path(str(tmp_path / "renderPath.log"), k, path, 48, 64)
     ks2, c2ws2 = data_io.read_campara(str(tmp_path / "renderPath.log"))
     assert len(ks2) == 5
+
+
+def _write_fake_colmap_with_points(tmp_path, n_views=3):
+    """COLMAP model with rotated poses + 3D points for the LLFF tests."""
+    rng = np.random.default_rng(0)
+    sp = tmp_path / "sparse" / "0"
+    sp.mkdir(parents=True)
+    with open(sp / "cameras.bin", "wb") as f:
+        f.write(struct.pack("<Q", 1))
+        f.write(struct.pack("<iiQQ", 1, 0, 64, 48))
+        f.write(struct.pack("<3d", 80.0, 32.0, 24.0))
+    c2ws = []
+    with open(sp / "images.bin", "wb") as f:
+        f.write(struct.pack("<Q", n_views))
+        for i in range(n_views):
+            # camera on a circle looking at the origin-ish
+            ang = 2 * np.pi * i / n_views
+            q = np.array([np.cos(ang / 2), 0.0, np.sin(ang / 2), 0.0])
+            R = colmap.qvec2rotmat(q)
+            t = np.array([0.1 * i, 0.05, 2.0])
+            c2w = np.eye(4)
+            c2w[:3, :3] = R.T
+            c2w[:3, 3] = -R.T @ t
+            c2ws.append(c2w)
+            f.write(struct.pack("<i", i + 1))
+            f.write(struct.pack("<4d", *q))
+            f.write(struct.pack("<3d", *t))
+            f.write(struct.pack("<i", 1))
+            f.write(f"im{i}.png".encode() + b"\x00")
+            f.write(struct.pack("<Q", 0))
+    with open(sp / "points3D.bin", "wb") as f:
+        n_pts = 40
+        f.write(struct.pack("<Q", n_pts))
+        for p in range(n_pts):
+            xyz = rng.normal(0, 0.3, 3)
+            f.write(struct.pack("<QdddBBBd", p + 1, *xyz, 10, 20, 30, 0.5))
+            f.write(struct.pack("<Q", n_views))
+            for v in range(n_views):
+                f.write(struct.pack("<2i", v + 1, 0))
+    return str(tmp_path), np.stack(c2ws)
+
+
+def test_llff_gen_poses_roundtrip(tmp_path):
+    """COLMAP -> poses_bounds.npy -> llff_to_cameras recovers the
+    original c2w poses and intrinsics (tools/poses/pose_utils.py)."""
+    from scanerf_tpu.preprocess import llff
+
+    d, c2ws_true = _write_fake_colmap_with_points(tmp_path, n_views=3)
+    arr = llff.gen_poses(d)
+    assert arr.shape == (3, 17)
+    # near < far and both positive (cameras look toward the points)
+    assert np.all(arr[:, -2] < arr[:, -1])
+
+    poses, bds = (
+        arr[:, :-2].reshape(-1, 3, 5).transpose(1, 2, 0),
+        arr[:, -2:].T,
+    )
+    c2w, K = llff.llff_to_cameras(poses)
+    np.testing.assert_allclose(K[0, 0, 0], 80.0)
+    np.testing.assert_allclose(K[0, 0, 2], 32.0)
+    # name sort is identity here -> same order as written
+    for i in range(3):
+        np.testing.assert_allclose(c2w[i], c2ws_true[i], atol=1e-8)
+
+
+def test_llff_loader_and_minify(tmp_path):
+    from scanerf_tpu.preprocess import llff
+
+    d, _ = _write_fake_colmap_with_points(tmp_path, n_views=3)
+    llff.gen_poses(d)
+    imdir = tmp_path / "images"
+    imdir.mkdir()
+    import cv2
+
+    rng = np.random.default_rng(1)
+    for i in range(3):
+        img = rng.integers(0, 255, (48, 64, 3), np.uint8)
+        cv2.imwrite(str(imdir / f"im{i}.png"), img)
+    poses, bds, imgs = llff.load_llff_data(d, factor=2)
+    assert imgs.shape == (24, 32, 3, 3)
+    # hwf updated to the minified resolution
+    np.testing.assert_allclose(poses[:2, 4, 0], [24, 32])
+    np.testing.assert_allclose(poses[2, 4, 0], 40.0)
