@@ -308,7 +308,12 @@ def _sort_pack_impl(
     # (CHUNK+128)-wide aligned DMA at any legitimate aligned-down start
     # (<= N) stays in bounds; chunks with n_real == 0 may compute a
     # larger start — clamp them to N (all their columns are pad)
-    assert N < 2**24, "pid carried as f32 row (exact below 2^24)"
+    if N >= 2**24:  # not an assert: must survive python -O (pids ride
+        # the pack DMA as an f32 row, exact only below 2^24)
+        raise ValueError(
+            f"sort_pack stream of {N} rows exceeds the 2^24 f32-exact pid "
+            "limit; split the call (render_image splits chunks "
+            "automatically)")
     N_pad = ((N + CHUNK - 1) // CHUNK) * CHUNK + CHUNK + 128
     src_start = jnp.clip(src_start, 0, N)
     meta_c = jnp.stack(
@@ -433,7 +438,13 @@ def sort_pack_tables(
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def unsort_rows(vals, pidp, inv_full, N: int):
-    """Restore original row order of a padded-sorted [Np, D] array -> [N, D]."""
+    """Restore original row order of a padded-sorted [Np, D] array -> [N, D].
+
+    ``inv_full`` may be None: the backward's inverse permutation is then
+    computed INSIDE the forward sort as one extra payload column — a
+    ~22 ms payload increment instead of a separate ~300 ms 2-operand
+    lax.sort (base cost dominates sorts on this fabric, PERF.md r3).
+    """
     D = vals.shape[1]
     out = jax.lax.sort(
         (pidp,) + tuple(vals[:, i] for i in range(D)), num_keys=1)
@@ -441,11 +452,25 @@ def unsort_rows(vals, pidp, inv_full, N: int):
 
 
 def _ur_fwd(vals, pidp, inv_full, N):
-    return unsort_rows(vals, pidp, inv_full, N), (pidp, inv_full, vals.shape)
+    D = vals.shape[1]
+    Np = vals.shape[0]
+    if inv_full is None:
+        # one sort produces the unsorted values AND the inverse
+        # permutation (position payload)
+        out = jax.lax.sort(
+            (pidp, jnp.arange(Np, dtype=jnp.int32))
+            + tuple(vals[:, i] for i in range(D)),
+            num_keys=1,
+        )
+        inv_full = out[1]
+        res = jnp.stack(out[2:], axis=-1)[:N]
+    else:
+        res = unsort_rows(vals, pidp, inv_full, N)
+    return res, (inv_full, vals.shape)
 
 
 def _ur_bwd(N, res, g):
-    pidp, inv_full, shape = res
+    inv_full, shape = res
     Np, D = shape
     gz = jnp.concatenate([g, jnp.zeros((Np - N, D), g.dtype)], axis=0)
     out = jax.lax.sort(
@@ -648,9 +673,17 @@ def _fwd_kernel(res_ref, meta_ref, pts_ref, feat_hbm, out_ref,
 
 def _bwd_kernel(res_ref, meta_ref, pts_ref, g_ref, feat_hbm,
                 dacc_hbm, dpts_ref, slab, slab_d, daccs, stage, dpt, prev,
-                sem_in, sem_out):
+                sem_in, sem_out, *, onehot_bf16=False):
     """daccs accumulates in the DE-INTERLEAVED layout; flush interleaves
-    it through ``stage`` back to the canonical HBM layout."""
+    it through ``stage`` back to the canonical HBM layout.
+
+    ``onehot_bf16``: build the scatter's one-hot matrix and per-point
+    weighted-gradient operand in bf16 (accumulation stays f32 via the
+    dot's preferred_element_type). The one-hot is exact in bf16 (0/1);
+    only the ``a`` operand rounds (2^-8 relative) — the one-hot
+    CONSTRUCTION dominates the backward's VPU work, and bf16 halves its
+    vreg count and doubles the MXU rate. Quality impact quantified by
+    scripts/quality_ab.py (PERF.md round 3)."""
     c = pl.program_id(0)
     NC = pl.num_programs(0)
     L = g_ref.shape[1]
@@ -711,6 +744,9 @@ def _bwd_kernel(res_ref, meta_ref, pts_ref, g_ref, feat_hbm,
                 win_d = slab_d[l, pl.ds(wl * WIN_SUB, WIN_SUB), :]
                 mt = (widf_t == w.astype(jnp.float32)).astype(jnp.float32)
                 dwin = jnp.zeros((8, 128), jnp.float32)
+                adt = jnp.bfloat16 if onehot_bf16 else jnp.float32
+                one = jnp.asarray(1.0, adt)
+                zero = jnp.asarray(0.0, adt)
                 for cc in range(8):
                     lane = slot[cc:cc + 1, :] & 127
                     sub = slot[cc:cc + 1, :] >> 7
@@ -719,13 +755,15 @@ def _bwd_kernel(res_ref, meta_ref, pts_ref, g_ref, feat_hbm,
                     # f1 sublanes 4-7, SAME lane -> one one-hot dot
                     subm0 = iota8 == jnp.broadcast_to(sub, (8, 128))
                     subm1 = iota8 == jnp.broadcast_to(sub + 4, (8, 128))
-                    ohl = (iota128 == jnp.broadcast_to(lane, (128, 128))
-                           ).astype(jnp.float32)
+                    ohl = jnp.where(
+                        iota128 == jnp.broadcast_to(lane, (128, 128)),
+                        one, zero)
+                    v0 = (wmc * g0t).astype(adt)
+                    v1 = (wmc * g1t).astype(adt)
                     a = (
-                        jnp.where(subm0,
-                                  jnp.broadcast_to(wmc * g0t, (8, 128)), 0.0)
-                        + jnp.where(subm1,
-                                    jnp.broadcast_to(wmc * g1t, (8, 128)), 0.0)
+                        jnp.where(subm0, jnp.broadcast_to(v0, (8, 128)), zero)
+                        + jnp.where(subm1, jnp.broadcast_to(v1, (8, 128)),
+                                    zero)
                     )
                     dwin = dwin + jax.lax.dot_general(
                         a, ohl, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -806,7 +844,8 @@ def _run_fwd(stream: SortedStream, features, resolutions):
     return out.transpose(0, 3, 1, 2).reshape(NC * CHUNK, L * 2)
 
 
-def _run_bwd(stream: SortedStream, features, resolutions, g_sorted):
+def _run_bwd(stream: SortedStream, features, resolutions, g_sorted,
+             onehot_bf16: bool = False):
     L, H, F = features.shape
     NC = stream.pts.shape[0]
     assert features.dtype == jnp.float32, (
@@ -815,7 +854,7 @@ def _run_bwd(stream: SortedStream, features, resolutions, g_sorted):
     g_k = g_sorted.reshape(NC, CHUNK, L, 2).transpose(0, 2, 3, 1)
 
     dacc, dpts = pl.pallas_call(
-        _bwd_kernel,
+        functools.partial(_bwd_kernel, onehot_bf16=onehot_bf16),
         grid=(NC,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -855,29 +894,34 @@ def _run_bwd(stream: SortedStream, features, resolutions, g_sorted):
     return dpts, d_features
 
 
-@jax.custom_vjp
-def hash_lookup_sorted(pts, meta, visited, features, resolutions):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def hash_lookup_sorted(pts, meta, visited, features, resolutions,
+                       onehot_bf16: bool = False):
     """Hash-encode a padded-sorted stream -> feats_sorted [Np, L*F].
 
     pts/meta/visited come from ``sort_pack`` (pass stream fields, not the
     struct, so cotangents line up). Differentiable wrt pts (rows 0-2,
-    i.e. dL/du) and features.
+    i.e. dL/du) and features. ``onehot_bf16``: backward one-hot scatter
+    in bf16 with f32 accumulation (see _bwd_kernel; forward is identical
+    either way).
     """
     stream = SortedStream(pts=pts, meta=meta, pidp=None, inv_full=None,
                           visited=visited)
     return _run_fwd(stream, features, resolutions)
 
 
-def _hls_fwd(pts, meta, visited, features, resolutions):
-    out = hash_lookup_sorted(pts, meta, visited, features, resolutions)
+def _hls_fwd(pts, meta, visited, features, resolutions, onehot_bf16):
+    out = hash_lookup_sorted(pts, meta, visited, features, resolutions,
+                             onehot_bf16)
     return out, (pts, meta, visited, features, resolutions)
 
 
-def _hls_bwd(res, g):
+def _hls_bwd(onehot_bf16, res, g):
     pts, meta, visited, features, resolutions = res
     stream = SortedStream(pts=pts, meta=meta, pidp=None, inv_full=None,
                           visited=visited)
-    dpts, d_features = _run_bwd(stream, features, resolutions, g)
+    dpts, d_features = _run_bwd(stream, features, resolutions, g,
+                                onehot_bf16=onehot_bf16)
     return dpts, None, None, d_features, None
 
 

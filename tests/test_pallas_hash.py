@@ -115,3 +115,38 @@ def test_odd_sizes(n):
     out_r = hw.hash_encode_windowed_ref(pts, feats, res)
     np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_r),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_backward_bf16_onehot_bounded_error():
+    """bf16 one-hot backward (hash_bwd_bf16): table gradients match the
+    exact path to bf16 rounding (~2^-8 relative); the one-hot itself and
+    the accumulation are exact, so errors never exceed per-contribution
+    rounding."""
+    pts, feats, res = _make_inputs(jax.random.PRNGKey(6), 800)
+    tang = jax.random.normal(jax.random.PRNGKey(7), (800, L * 2))
+    N = pts.shape[0]
+
+    def grads(onehot_bf16):
+        def loss(p, f):
+            stream = hw.sort_pack(p, jnp.zeros_like(p), H)
+            feats_s = hw.hash_lookup_sorted(
+                stream.pts, stream.meta, stream.visited, f, res,
+                onehot_bf16,
+            )
+            rows = hw.unsort_rows(feats_s, stream.pidp, None, N)
+            return jnp.sum(rows * tang)
+
+        return jax.grad(loss, argnums=(0, 1))(pts, feats)
+
+    dp_x, df_x = grads(False)
+    dp_b, df_b = grads(True)
+    # dL/dpoints is computed in f32 either way (regather path) — exact
+    np.testing.assert_allclose(
+        np.asarray(dp_b), np.asarray(dp_x), rtol=1e-6, atol=1e-6
+    )
+    # table gradient: bf16-rounded contributions, f32 accumulation
+    scale = np.abs(np.asarray(df_x)).max()
+    err = np.abs(np.asarray(df_b) - np.asarray(df_x)).max()
+    assert err <= 0.02 * scale, (err, scale)
+    # and it is not a broken/zero path
+    assert np.abs(np.asarray(df_b)).max() > 0
