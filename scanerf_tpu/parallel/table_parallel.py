@@ -32,6 +32,7 @@ axis in a 2D mesh for scale-out.
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 
 import jax
@@ -68,6 +69,46 @@ def localize_meta(meta, visited, dev_idx, nb_local):
         visited, b0, nb_local, axis=0
     )
     return meta_loc, visited_loc
+
+
+# --- differentiation-correct collectives for inside-shard_map grads ----
+#
+# With check_vma=False, shard_map cannot track replication, and the
+# default transpose of ``psum`` sums the (identical) per-device
+# cotangents — scaling gradients by the axis size. Worse, the hash
+# kernel's dL/dpoints is per-device PARTIAL (each device only evaluates
+# its owned chunks). These two custom ops pin the correct semantics for
+# the one-owner-per-point feature sum:
+#
+# - ``psum_one_owner``: forward psum; backward passes the (replicated)
+#   cotangent through unchanged — exact, because each point's feature
+#   row is produced by exactly one device (zeros elsewhere), so
+#   d(sum)/d(local contribution) = identity.
+# - ``complete_on_backward``: forward identity; backward psums — used on
+#   the sorted-stream inputs so the partial per-device dL/dpoints
+#   contributions combine into the full gradient before flowing on to
+#   poses.
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def psum_one_owner(x, axis: str):
+    return jax.lax.psum(x, axis)
+
+
+psum_one_owner.defvjp(
+    lambda x, axis: (jax.lax.psum(x, axis), None),
+    lambda axis, _, g: (g,),
+)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def complete_on_backward(x, axis: str):
+    return x
+
+
+complete_on_backward.defvjp(
+    lambda x, axis: (x, None),
+    lambda axis, _, g: (jax.lax.psum(g, axis),),
+)
 
 
 def encode_table_parallel(

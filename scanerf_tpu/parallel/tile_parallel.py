@@ -46,18 +46,56 @@ def stack_tiles(states: list[TrainState], cam_maps: np.ndarray) -> ParallelTiles
     return ParallelTiles(state=stacked, cam_map=cam_map, confidence=conf)
 
 
-def make_tile_mesh(devices=None) -> Mesh:
+def make_tile_mesh(devices=None, n_table: int = 1) -> Mesh:
+    """1D ``tiles`` mesh, or a 2D ``(tiles, table)`` mesh when
+    ``n_table > 1`` (city-scale: tiles scale out, each tile's hash table
+    + Adam moments shard ``n_table``-way along H)."""
     devices = np.array(devices if devices is not None else jax.devices())
+    if n_table > 1:
+        assert devices.size % n_table == 0, (devices.size, n_table)
+        return Mesh(
+            devices.reshape(devices.size // n_table, n_table),
+            ("tiles", "table"),
+        )
     return Mesh(devices, ("tiles",))
 
 
+def _is_table_leaf(x, feat_shape) -> bool:
+    """A stacked-state leaf carrying per-tile hash features (the features
+    themselves and their Adam mu/nu inside the optimizer state) — matched
+    by exact shape: [T, L, H, F] with H large makes collisions with any
+    other state leaf impossible."""
+    return hasattr(x, "shape") and tuple(x.shape) == tuple(feat_shape)
+
+
+def state_specs(tiles: ParallelTiles, mesh: Mesh):
+    """Per-leaf PartitionSpecs for the stacked ParallelTiles: everything
+    shards over ``tiles``; hash-feature leaves (features + moments)
+    additionally shard H over ``table`` when the mesh has that axis."""
+    feat_shape = tiles.state.params.field.features.shape  # [T, L, H, F]
+    has_table = "table" in mesh.axis_names
+
+    def spec_of(x):
+        if has_table and _is_table_leaf(x, feat_shape):
+            return P("tiles", None, "table", None)
+        return P("tiles")
+
+    return jax.tree_util.tree_map(spec_of, tiles)
+
+
 def shard_parallel(mesh: Mesh, tiles: ParallelTiles, data: TileData):
-    """Place the stacked pytrees on the mesh, tile-sharded."""
-    sharding = NamedSharding(mesh, P("tiles"))
-    put = lambda t: jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), t
+    """Place the stacked pytrees on the mesh: tile-sharded, with hash
+    features (and their optimizer moments) additionally H-sharded over
+    the ``table`` axis when present."""
+    specs = state_specs(tiles, mesh)
+    tiles = jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tiles, specs
     )
-    return put(tiles), put(data)
+    data_sh = NamedSharding(mesh, P("tiles"))
+    data = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, data_sh), data
+    )
+    return tiles, data
 
 
 def build_admm_round(
@@ -67,11 +105,21 @@ def build_admm_round(
     n_inner: int,
     n_global_cams: int,
     update_confidence: bool = False,
+    tiles_example: ParallelTiles | None = None,
 ):
     """Build the jitted sync-round function.
 
     round_fn(tiles: ParallelTiles, data: TileData[stacked], key) ->
         (tiles', (train_aux, consensus_aux))
+
+    On a 2D ``(tiles, table)`` mesh (``make_tile_mesh(n_table=...)``),
+    pass ``tiles_example`` (the stacked state — only shapes are used) so
+    hash-feature leaves get ``P("tiles", None, "table", None)`` specs,
+    and set ``tc.table_shards`` to the table-axis size: each per-tile
+    step then runs its windowed hash lookup on the LOCAL table shard and
+    psums features over ``table`` (models/field.py), while gradients and
+    Adam moments for the table stay shard-local — no table gradient
+    communication, 1/n_table memory per device.
     """
 
     def one_tile_steps(
@@ -139,11 +187,24 @@ def build_admm_round(
         new_tiles = tiles.replace(state=new_state)
         return new_tiles, losses, aux
 
+    if "table" in mesh.axis_names:
+        assert tiles_example is not None, (
+            "a (tiles, table) mesh needs tiles_example to derive the "
+            "table-sharded leaf specs")
+        tile_specs = state_specs(tiles_example, mesh)
+        assert tc.table_shards == mesh.shape["table"], (
+            tc.table_shards, dict(mesh.shape))
+    else:
+        tile_specs = jax.tree_util.tree_map(
+            lambda _: P("tiles"), tiles_example
+        ) if tiles_example is not None else P("tiles")
+        assert tc.table_shards == 1, tc.table_shards
+
     sharded = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P("tiles"), P("tiles"), P()),
-        out_specs=(P("tiles"), P("tiles"), P()),
+        in_specs=(tile_specs, P("tiles"), P()),
+        out_specs=(tile_specs, P("tiles"), P()),
         # pallas_call inside shard_map cannot express varying-mesh-axes
         # metadata on its out_shape (jax #pallas_call vma limitation) —
         # disable the check; correctness is covered by the parity tests
