@@ -76,6 +76,17 @@ class MultiTileScene:
     # all tiles share one resolution ladder (true for build_tiles grids —
     # equal tile sizes); required by the windowed fast path
     shared_res: bool = flax.struct.field(pytree_node=False, default=True)
+    # rasterized containing-tile LUT (build_tile_lut): per scene cell, up
+    # to LUT_CAND candidate tile ids (-1 pad). Makes fg slot assignment
+    # O(candidates) instead of O(T) — the capped-slot renderer's cost
+    # then no longer grows with the city-scale tile count. None falls
+    # back to the exhaustive per-tile loop.
+    tile_lut: jax.Array | None = None  # [Gx*Gy*Gz, LUT_CAND] int32
+    lut_corner: jax.Array | None = None  # [3]
+    lut_cell: jax.Array | None = None  # [3]
+    lut_dims: tuple | None = flax.struct.field(
+        pytree_node=False, default=None
+    )
 
 
 def _union_occupancy(exports: list[dict]) -> np.ndarray:
@@ -173,7 +184,12 @@ def load_scene(tile_dirs: list[str], dtype=jnp.float32) -> MultiTileScene:
     corners = np.stack([e["block_corner"] for e in exports])
     sizes = np.stack([e["block_size"] for e in exports])
     ug, uc, us = build_union_grid(corners, sizes, occ)
+    lut, lc, lcell, ldims = build_tile_lut(corners, sizes)
     return MultiTileScene(
+        tile_lut=jnp.asarray(lut),
+        lut_corner=jnp.asarray(lc),
+        lut_cell=jnp.asarray(lcell),
+        lut_dims=ldims,
         features=jnp.asarray(
             np.stack([e["features"] for e in exports])
         ).astype(dtype),
@@ -266,6 +282,87 @@ def _sample_union(
 # ---------------------------------------------------------------------------
 # slot assignment: fg containing tiles, bg exit tiles
 # ---------------------------------------------------------------------------
+
+LUT_CAND = 8  # max tiles intersecting one LUT cell (2x2x2 grid corner)
+
+
+def build_tile_lut(
+    block_corner: np.ndarray, block_size: np.ndarray, cells_per_tile: int = 8
+):
+    """Rasterized containing-tile lookup over the scene's INNER bboxes.
+
+    Cells are sized ~1/cells_per_tile of the smallest tile edge, so a
+    cell never straddles more than the 0.2-overlap corner regions —
+    at most 8 tiles of an axis-aligned tile grid intersect one cell.
+    Returns (lut [Gx*Gy*Gz, LUT_CAND] int32 with -1 padding, corner [3],
+    cell [3], dims). Host-side, once per scene load.
+
+    Replaces the renderer's per-tile containment loop (O(T) compile and
+    memory) with an O(LUT_CAND) candidate check — the TPU analog of
+    ``prepare_points``' encounter-order tile walk
+    (rendering_kernel.cu:390-449), which also touches only the tiles a
+    sample can lie in.
+    """
+    T = block_corner.shape[0]
+    inner_c = (block_corner + block_size / 4.0).astype(np.float64)
+    inner_s = (block_size / 2.0).astype(np.float64)
+    lo = inner_c.min(axis=0)
+    hi = (inner_c + inner_s).max(axis=0)
+    cell = inner_s.min(axis=0) / cells_per_tile
+    dims = np.maximum(np.ceil((hi - lo) / cell - 1e-9).astype(np.int64), 1)
+    lut = np.full((int(np.prod(dims)), LUT_CAND), -1, np.int32)
+    counts = np.zeros(int(np.prod(dims)), np.int64)
+    for t in range(T):
+        i0 = np.clip(
+            np.floor((inner_c[t] - lo) / cell).astype(np.int64), 0, dims - 1
+        )
+        i1 = np.clip(
+            np.ceil((inner_c[t] + inner_s[t] - lo) / cell + 1e-9
+                    ).astype(np.int64),
+            1, dims,
+        )
+        gx, gy, gz = np.meshgrid(
+            np.arange(i0[0], i1[0]), np.arange(i0[1], i1[1]),
+            np.arange(i0[2], i1[2]), indexing="ij",
+        )
+        flat = (gx * dims[1] + gy) * dims[2] + gz
+        flat = flat.reshape(-1)
+        n = counts[flat]
+        if (n >= LUT_CAND).any():
+            raise ValueError(
+                f"tile layout has >{LUT_CAND} tiles overlapping one "
+                "LUT cell; raise cells_per_tile")
+        lut[flat, n] = t
+        counts[flat] = n + 1
+    return lut, lo.astype(np.float32), cell.astype(np.float32), tuple(
+        int(d) for d in dims
+    )
+
+
+def _fg_slots_lut(scene: MultiTileScene, pts: jax.Array, K: int):
+    """O(LUT_CAND) fg slot assignment via the rasterized tile LUT —
+    same outputs as ``_fg_slots`` (tested equal), compile size and
+    per-sample work independent of the tile count."""
+    dims = jnp.asarray(scene.lut_dims)
+    u = (pts - scene.lut_corner) / scene.lut_cell
+    cell = jnp.clip(u.astype(jnp.int32), 0, dims - 1)
+    flat = (cell[..., 0] * scene.lut_dims[1] + cell[..., 1]) \
+        * scene.lut_dims[2] + cell[..., 2]
+    cand = scene.tile_lut[flat]  # [N, S, LUT_CAND]
+    cand_safe = jnp.maximum(cand, 0)
+    inner_c = (scene.block_corner + scene.block_size / 4.0)[cand_safe]
+    inner_s = (scene.block_size / 2.0)[cand_safe]  # [N, S, C, 3]
+    uu = (pts[..., None, :] - inner_c) / inner_s
+    contains = jnp.all((uu >= 0) & (uu < 1), axis=-1) & (cand >= 0)
+    w_all = _seam_weight(uu, inner_s)  # [N, S, C]
+    occ_any = _union_occupancy_lookup(scene, pts)  # [N, S]
+    score = jnp.where(contains, w_all, -1.0)
+    top, sel = jax.lax.top_k(score, K)  # over C candidates
+    tags = jnp.take_along_axis(cand_safe, sel, -1)
+    w = jnp.take_along_axis(w_all, sel, -1)
+    m_any = jnp.take_along_axis(contains, sel, -1)
+    m_eval = m_any & occ_any[..., None]
+    return tags, jnp.where(m_any, w, 0.0), m_any, m_eval
 
 def _seam_weight(u: jax.Array, inner_size: jax.Array) -> jax.Array:
     """rendering_kernel.cu:523-537: world-space distance to boundary in x
@@ -519,13 +616,56 @@ def _bg_mask(
 # windowed sorted-stream backend (TPU production path)
 # ---------------------------------------------------------------------------
 
+def _decode_stream(scene, stream, chunk_tile, feat_flat, res0, fuse):
+    """Evaluate the decoder over the sorted stream -> [Np, 4] columns
+    (sigma, diffuse + tint*specular). Fused: single Pallas megakernel;
+    unfused: hash lookup + chunk-batched XLA decoder (parity oracle)."""
+    from scanerf_tpu.ops.pallas import hash_encode as hw
+
+    if fuse:
+        from scanerf_tpu.ops.pallas import fused_render as fr
+
+        dec_slabs = fr.pack_decoder_slabs(scene.decoders)
+        return fr.hash_decode_fused(
+            stream, chunk_tile, feat_flat, res0, dec_slabs
+        )
+
+    NC = stream.pts.shape[0]
+    L = feat_flat.shape[0]
+    F = feat_flat.shape[2]
+    feats_s = hw.hash_lookup_sorted(
+        stream.pts, stream.meta, stream.visited, feat_flat, res0
+    )  # [Np, L*F]
+    dec_c = jax.tree_util.tree_map(
+        lambda p: p[chunk_tile], scene.decoders
+    )
+    feats_c = feats_s.reshape(NC, hw.CHUNK, L * F)
+    dirs_c = stream.pts[:, 4:7, :].transpose(0, 2, 1)  # [NC, CHUNK, 3]
+    out_c = jax.vmap(decoder_lib.apply_decoder, in_axes=(0, 0, 0, None))(
+        dec_c, feats_c, dirs_c, jnp.ones((L * F,), jnp.float32)
+    )
+    # only (sigma, diffuse + tint*specular) leave the sorted stream —
+    # the unsort is a lax.sort whose cost scales with the column count,
+    # and the blend needs nothing else
+    return jnp.concatenate(
+        [out_c["sigma"],
+         out_c["diffuse"] + out_c["tint"] * out_c["specular"]],
+        axis=-1,
+    ).reshape(NC * hw.CHUNK, 4)
+
 def _render_windowed(
     scene, rays_o, rays_d, z_vals, dists, valid,
     bg_tiles, bg_w, z_bg, d_bg, bg_valid, invalid_underground,
-    max_blend_tiles=MAX_PTS_BLOCKS,
+    max_blend_tiles=MAX_PTS_BLOCKS, fuse_decoder=True,
 ):
     """Capped-slot fused evaluation: ONE windowed hash lookup + ONE
-    chunk-batched decoder pass over all fg and bg (sample, tile) slots."""
+    chunk-batched decoder pass over all fg and bg (sample, tile) slots.
+
+    ``fuse_decoder=True`` (default) runs the ShallowMLP INSIDE the
+    Pallas kernel (ops/pallas/fused_render.py — the reference
+    ``pts_inference`` megakernel's role): hash features never round-trip
+    HBM; only (sigma, premultiplied rgb) leave the sorted stream.
+    ``False`` keeps the chunk-batched XLA decoder (parity oracle)."""
     from scanerf_tpu.ops.pallas import hash_encode as hw
 
     T, L, H, F = scene.features.shape
@@ -536,7 +676,10 @@ def _render_windowed(
     dnorm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)  # [N, 1]
 
     pts = rays_o[:, None, :] + z_vals[..., None] * rays_d[:, None, :]
-    tags, w_fg, m_any, m_eval = _fg_slots(scene, pts, Kf)  # [N,S,Kf]
+    if scene.tile_lut is not None:
+        tags, w_fg, m_any, m_eval = _fg_slots_lut(scene, pts, Kf)
+    else:
+        tags, w_fg, m_any, m_eval = _fg_slots(scene, pts, Kf)  # [N,S,Kf]
 
     # fg rows: contraction under each slot's tile
     cor_f = scene.block_corner[tags]  # [N,S,Kf,3]
@@ -572,31 +715,15 @@ def _render_windowed(
     # f32 in-kernel at relayout) — half the HBM footprint and traffic
     feat_flat = scene.features.transpose(1, 0, 2, 3).reshape(L, T * H, F)
     res0 = scene.resolutions[0]
-    feats_s = hw.hash_lookup_sorted(
-        stream.pts, stream.meta, stream.visited, feat_flat, res0
-    )  # [Np, L*F]
 
     # per-chunk decoder: each CHUNK lies inside one tile's table range
-    Np = feats_s.shape[0]
-    NC = Np // hw.CHUNK
+    NC = stream.pts.shape[0]
+    Np = NC * hw.CHUNK
     NW = H // hw.W
     chunk_tile = jnp.clip(stream.meta[:, 0, 0] * hw.WB // NW, 0, T - 1)  # [NC]
-    dec_c = jax.tree_util.tree_map(
-        lambda p: p[chunk_tile], scene.decoders
-    )
-    feats_c = feats_s.reshape(NC, hw.CHUNK, L * F)
-    dirs_c = stream.pts[:, 4:7, :].transpose(0, 2, 1)  # [NC, CHUNK, 3]
-    out_c = jax.vmap(decoder_lib.apply_decoder, in_axes=(0, 0, 0, None))(
-        dec_c, feats_c, dirs_c, jnp.ones((L * F,), jnp.float32)
-    )
-    # only (sigma, diffuse + tint*specular) leave the sorted stream —
-    # the unsort is a lax.sort whose cost scales with the column count,
-    # and the blend needs nothing else
-    cols = jnp.concatenate(
-        [out_c["sigma"],
-         out_c["diffuse"] + out_c["tint"] * out_c["specular"]],
-        axis=-1,
-    ).reshape(Np, 4)
+    cols = _decode_stream(
+        scene, stream, chunk_tile, feat_flat, res0, fuse_decoder
+    )  # [Np, 4] (sigma, diffuse + tint*specular)
     rows = hw.unsort_rows(cols, stream.pidp, stream.inv_full, X.shape[0])
 
     # ---- fg blend (pts_inference :500-621) ----
@@ -659,6 +786,7 @@ def _render_rays_impl(
     invalid_underground: bool,
     backend: str,
     max_blend_tiles: int = MAX_PTS_BLOCKS,
+    fuse_decoder: bool = True,
 ) -> dict[str, jax.Array]:
     z_vals, dists, valid = _sample_union(
         scene, rays_o, rays_d, num_sample, num_march
@@ -670,7 +798,8 @@ def _render_rays_impl(
     z_bg, d_bg = _bg_zvals(far, num_bg_sample)
 
     if backend == "windowed":
-        impl = partial(_render_windowed, max_blend_tiles=max_blend_tiles)
+        impl = partial(_render_windowed, max_blend_tiles=max_blend_tiles,
+                       fuse_decoder=fuse_decoder)
     else:
         impl = _render_staged
     rgb_fg, depth_fg, T_left, rgb_bg, depth_bg, valid = impl(
@@ -691,7 +820,7 @@ def _render_rays_impl(
 
 @partial(jax.jit, static_argnames=(
     "num_sample", "num_bg_sample", "num_march", "invalid_underground",
-    "backend", "max_blend_tiles",
+    "backend", "max_blend_tiles", "fuse_decoder",
 ))
 def render_rays(
     scene: MultiTileScene,
@@ -703,23 +832,25 @@ def render_rays(
     invalid_underground: bool = False,
     backend: str = "auto",
     max_blend_tiles: int = MAX_PTS_BLOCKS,
+    fuse_decoder: bool = True,
 ) -> dict[str, jax.Array]:
     """backend: "xla" staged per-tile loop | "windowed" capped-slot
     sorted-stream Pallas path (requires windowed-layout tiles with a
     shared resolution ladder) | "auto" picks windowed when eligible.
     max_blend_tiles (<= MAX_PTS_BLOCKS=4) trades seam-corner blending
     accuracy for row count — 2 suffices away from 4-tile corners at the
-    standard 0.2 overlap."""
+    standard 0.2 overlap. fuse_decoder: run the ShallowMLP inside the
+    Pallas kernel (windowed backend only; ops/pallas/fused_render.py)."""
     backend = _resolve_backend(scene, backend)
     return _render_rays_impl(
         scene, rays_o, rays_d, num_sample, num_bg_sample, num_march,
-        invalid_underground, backend, max_blend_tiles,
+        invalid_underground, backend, max_blend_tiles, fuse_decoder,
     )
 
 
 @partial(jax.jit, static_argnames=(
     "num_sample", "num_bg_sample", "num_march", "invalid_underground",
-    "backend", "mesh", "max_blend_tiles",
+    "backend", "mesh", "max_blend_tiles", "fuse_decoder",
 ))
 def render_rays_sharded(
     scene: MultiTileScene,
@@ -732,6 +863,7 @@ def render_rays_sharded(
     invalid_underground: bool = False,
     backend: str = "auto",
     max_blend_tiles: int = MAX_PTS_BLOCKS,
+    fuse_decoder: bool = True,
 ) -> dict[str, jax.Array]:
     """Multi-chip render: rays shard over the mesh's ``rays`` axis, the
     scene replicates, every device renders its slice independently (the
@@ -750,6 +882,7 @@ def render_rays_sharded(
         num_sample=num_sample, num_bg_sample=num_bg_sample,
         num_march=num_march, invalid_underground=invalid_underground,
         backend=backend, max_blend_tiles=max_blend_tiles,
+        fuse_decoder=fuse_decoder,
     )
     shmap = shard_map(
         fn, mesh=mesh,
@@ -776,6 +909,17 @@ def render_image(
     ``sharded=True`` spreads each chunk's rays over every local device
     (render_rays_sharded)."""
     from scanerf_tpu.utils import lie, rays as rays_mod
+
+    # the windowed stream carries point ids as f32 (exact below 2^24):
+    # clamp the chunk so chunk * (S*Kf + Sb*Kb) stays under the limit
+    S = kwargs.get("num_sample", 128)
+    Sb = kwargs.get("num_bg_sample", 128)
+    Kmax = min(kwargs.get("max_blend_tiles", MAX_PTS_BLOCKS),
+               scene.features.shape[0])
+    rows_per_ray = (S + Sb) * Kmax
+    max_chunk = max((2**24 - 1) // max(rows_per_ray, 1), 256)
+    if chunk > max_chunk:
+        chunk = max_chunk
 
     mesh = None
     if sharded:

@@ -47,7 +47,12 @@ def make_scene(T, H_table=2**19, seed=0):
     corners = np.stack(corners)
     sizes = np.broadcast_to(inner_size * 2, (T, 3)).copy()
     ug, uc, us = renderer.build_union_grid(corners, sizes, occ)
+    lut, lc, lcell, ldims = renderer.build_tile_lut(corners, sizes)
     return renderer.MultiTileScene(
+        tile_lut=jnp.asarray(lut),
+        lut_corner=jnp.asarray(lc),
+        lut_cell=jnp.asarray(lcell),
+        lut_dims=ldims,
         features=jnp.stack(feats),
         decoders=jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *decs),
         resolutions=jnp.broadcast_to(jnp.asarray(res), (T, L, 3)),
@@ -76,11 +81,17 @@ def main():
     rays_o = jnp.asarray(rng.randn(N, 3).astype(np.float32) * 0.3)
     rays_d = jnp.asarray(rng.randn(N, 3).astype(np.float32))
 
+    modes = [
+        ("windowed-fused", dict(backend="windowed", fuse_decoder=True)),
+        ("windowed-unfused", dict(backend="windowed", fuse_decoder=False)),
+    ]
+    if T <= 8 and len(sys.argv) <= 3:
+        modes.append(("xla-staged", dict(backend="xla")))
     out = {}
-    for backend in ("windowed", "xla"):
+    for name, mkw in modes:
         fn = lambda: renderer.render_rays(
             scene, rays_o, rays_d, num_sample=128, num_bg_sample=128,
-            num_march=512, backend=backend,
+            num_march=512, **mkw,
         )
         r = fn()
         _ = float(jnp.sum(r["rgb"]))  # force completion (axon)
@@ -91,12 +102,12 @@ def main():
         _ = float(jnp.sum(r["rgb"]))
         dt = (time.perf_counter() - t0) / reps
         rays_s = N / dt
-        out[backend] = {
+        out[name] = {
             "rays_per_sec": round(rays_s, 1),
             "chunk_ms": round(dt * 1000, 1),
             "frame_1080p_s": round(1920 * 1080 / rays_s, 2),
         }
-        print(backend, json.dumps(out[backend]))
+        print(name, json.dumps(out[name]), flush=True)
     print(json.dumps({"n_tiles": T, "chunk": N, **out}))
 
 

@@ -191,3 +191,75 @@ def test_bf16_tables_render_close():
     d = np.abs(np.asarray(a["rgb"]) - np.asarray(b["rgb"]))
     assert d.mean() < 5e-3, d.mean()
     assert np.isfinite(np.asarray(b["rgb"])).all()
+
+
+def test_fused_decoder_matches_unfused():
+    """The in-kernel ShallowMLP (ops/pallas/fused_render.py) must
+    reproduce the chunk-batched XLA decoder on the same sorted stream."""
+    scene = make_scene(T=2)
+    rng = np.random.RandomState(7)
+    rays_o = jnp.asarray(rng.randn(16, 3).astype(np.float32) * 0.3)
+    rays_d = jnp.asarray(rng.randn(16, 3).astype(np.float32))
+    kw = dict(num_sample=10, num_bg_sample=5, num_march=32,
+              backend="windowed")
+    a = renderer.render_rays(scene, rays_o, rays_d, fuse_decoder=False, **kw)
+    b = renderer.render_rays(scene, rays_o, rays_d, fuse_decoder=True, **kw)
+    np.testing.assert_allclose(
+        np.asarray(a["rgb"]), np.asarray(b["rgb"]), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(a["depth"]), np.asarray(b["depth"]), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(a["T_left"]), np.asarray(b["T_left"]), atol=2e-5
+    )
+
+
+def _with_lut(scene):
+    lut, lc, lcell, ldims = renderer.build_tile_lut(
+        np.asarray(scene.block_corner), np.asarray(scene.block_size)
+    )
+    return scene.replace(
+        tile_lut=jnp.asarray(lut), lut_corner=jnp.asarray(lc),
+        lut_cell=jnp.asarray(lcell), lut_dims=ldims,
+    )
+
+
+def test_fg_slots_lut_matches_exhaustive():
+    """The rasterized tile-LUT slot assignment (O(candidates)) must
+    reproduce the per-tile exhaustive loop on every valid slot."""
+    for T in (2, 4):
+        scene = _with_lut(make_scene(T=T, seed=T))
+        rng = np.random.RandomState(T)
+        pts = jnp.asarray(
+            rng.uniform(-1.5, -1.0 + T * 1.6 + 1.5, (40, 9, 3))
+            .astype(np.float32)
+        )
+        K = min(4, T)
+        t_a, w_a, m_a, e_a = renderer._fg_slots(scene, pts, K)
+        t_b, w_b, m_b, e_b = renderer._fg_slots_lut(scene, pts, K)
+        np.testing.assert_array_equal(np.asarray(m_a), np.asarray(m_b))
+        np.testing.assert_array_equal(np.asarray(e_a), np.asarray(e_b))
+        np.testing.assert_allclose(
+            np.asarray(w_a), np.asarray(w_b), rtol=1e-6, atol=1e-7
+        )
+        m = np.asarray(m_a)
+        np.testing.assert_array_equal(
+            np.asarray(t_a)[m], np.asarray(t_b)[m]
+        )
+
+
+def test_windowed_lut_render_matches_no_lut():
+    """Full windowed render with the tile LUT == without (T=2)."""
+    scene = make_scene(T=2, seed=3)
+    scene_lut = _with_lut(scene)
+    rng = np.random.RandomState(5)
+    rays_o = jnp.asarray(rng.randn(12, 3).astype(np.float32) * 0.3)
+    rays_d = jnp.asarray(rng.randn(12, 3).astype(np.float32))
+    kw = dict(num_sample=8, num_bg_sample=4, num_march=32,
+              backend="windowed")
+    a = renderer.render_rays(scene, rays_o, rays_d, **kw)
+    b = renderer.render_rays(scene_lut, rays_o, rays_d, **kw)
+    np.testing.assert_allclose(
+        np.asarray(a["rgb"]), np.asarray(b["rgb"]), atol=1e-6
+    )
