@@ -1,5 +1,7 @@
 """Tests for normals, encodings, quaternions, NDC, general MLP."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -77,3 +79,32 @@ def test_render_normals():
     assert n.shape == (4, 3)
     assert np.isfinite(np.asarray(n)).all()
     assert (np.asarray(n) >= 0).all() and (np.asarray(n) <= 1).all()
+
+
+def test_city_scene_dir(tmp_path):
+    """City-block generator: reference layout, unequal per-tile views,
+    loadable by the training data reader."""
+    from scanerf_tpu.data import io as data_io
+    from scanerf_tpu.data.city import write_city_scene_dir
+
+    d = str(tmp_path / "city")
+    info = write_city_scene_dir(
+        d, nx_tiles=2, nz_tiles=2, n_cameras=16, H=24, W=24
+    )
+    assert info["n_tiles"] == 4
+    counts = list(info["views_per_tile"].values())
+    assert min(counts) >= 2 and max(counts) > min(counts)  # unequal
+    ks, c2ws, H, W = data_io.read_campara(
+        os.path.join(d, "camera.log"), return_shape=True
+    )
+    assert ks.shape[0] == 16 and (H, W) == (24, 24)
+    infos = data_io.read_tile_info(
+        os.path.join(d, "tiles", "tile_info.txt")
+    )
+    assert len(infos) == 4
+    views = data_io.read_training_views(
+        os.path.join(d, "tiles", "training_views.txt")
+    )
+    scene = data_io.load_scene(d, views[0][:3], mono_depth=True)
+    assert scene.images.shape == (3, 24, 24, 3)
+    assert scene.mono_depths.max() <= 10.0
