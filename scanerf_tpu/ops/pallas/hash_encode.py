@@ -369,13 +369,15 @@ def _sort_pack_impl(
          jnp.zeros_like(wmin_t)], axis=-1
     ).astype(jnp.int32)
 
-    if need_inverse:
-        _, inv_full = jax.lax.sort(
-            (pidp, jnp.arange(Np, dtype=jnp.int32)), num_keys=1)
-    else:
-        inv_full = None  # unsort_rows fwd never reads it
+    # inv_full is no longer precomputed here: unsort_rows derives the
+    # inverse permutation INSIDE its forward sort as one extra payload
+    # (the base cost of a lax.sort dominates; a whole extra 2-operand
+    # sort for it was the single most wasteful op in the step). The
+    # field stays for pytree compatibility. ``need_inverse`` is kept for
+    # API stability and ignored.
+    del need_inverse
     return SortedStream(
-        pts=pts, meta=meta, pidp=pidp, inv_full=inv_full, visited=pop > 0
+        pts=pts, meta=meta, pidp=pidp, inv_full=None, visited=pop > 0
     )
 
 
@@ -421,10 +423,10 @@ def sort_pack_tables(
 ) -> SortedStream:
     """Multi-table window-sort: points carry a per-point table index
     (tile id) and land in window ``tid*NW + wid`` of a concatenated
-    feature stack [L, n_tables*H, F]. Forward-only (inference path —
-    the multi-tile renderer), so the inverse-permutation sort (only
-    needed by ``unsort_rows``'s backward) is skipped; use ``sort_pack``
-    for the training path.
+    feature stack [L, n_tables*H, F]; tile boundaries coincide with
+    block boundaries, so every CHUNK stays within one tile's table
+    slab. Used by the multi-tile renderer; ``sort_pack`` is the
+    single-table training-path entry.
     """
     return _sort_pack_impl(
         x, dirs, H, tids=tids, n_tables=n_tables, need_inverse=False

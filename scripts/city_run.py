@@ -1,0 +1,97 @@
+"""City-block e2e: train an 8-tile scene through the full Trainer, then
+render the exported scene through the standalone renderer at MATCHED
+sample counts and compare against training-eval PSNR (VERDICT r2
+items 3/6/weak-7).
+
+Usage: python scripts/city_run.py [steps] [nx] [nz] [n_cams] [res]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    steps = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
+    nx = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    nz = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    n_cams = int(sys.argv[4]) if len(sys.argv) > 4 else 96
+    res = int(sys.argv[5]) if len(sys.argv) > 5 else 64
+
+    import yaml
+
+    from scanerf_tpu.data.city import write_city_scene_dir
+
+    scene_dir = os.environ.get("CITY_DIR", "/tmp/cityscene_e2e")
+    if not os.path.exists(os.path.join(scene_dir, "camera.log")):
+        info = write_city_scene_dir(
+            scene_dir, nx_tiles=nx, nz_tiles=nz, n_cameras=n_cams,
+            H=res, W=res,
+        )
+        print("scene:", json.dumps(info), flush=True)
+
+    n_tiles = nx * nz
+    cfg = {
+        "DATADIR": scene_dir,
+        "TILES": list(range(n_tiles)),
+        "RHO": 100.0,
+        "SYN_ITERS": 50,
+        "MAX_POSES": 60,
+        "EVAL_STEP": max(steps // 4, 200),
+        "MAX_ROUND_STEPS": 100,
+        "HASHGRID": {"LOG2_HASHMAP_SIZE": 19},
+        "TRAINING": {
+            "NUM_SAMPLE": 64,
+            "NUM_BG_SAMPLE": 32,
+            "NUM_MARCH": 256,
+            "BS_LOG2DIM": 12,
+            "TOTAL_STEP": steps,
+            "HASH_BACKEND": "windowed",
+            "GRID_LOG2DIM": [5, 6],
+            "ADJUST_STEP": max(steps // 3, 1000),
+            "CAMOPT": {"ENABLE": True, "NOISE": 0.01, "START_STEPS": 0},
+            "LOSS": {
+                "WEIGHT_RGB_LOSS": 1.0,
+                "WEIGHT_WARP_LOSS": 1.0,
+                "WEIGHT_DEPTH_LOSS": 0.01,
+                "WEIGHT_DEPTH_SMOOTH_LOSS": 0.001,
+            },
+        },
+    }
+    cfg_path = os.path.join(scene_dir, "city_cfg.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    from scanerf_tpu.config import parse_yaml
+    from scanerf_tpu.train.trainer import Trainer
+
+    t0 = time.time()
+    trainer = Trainer(parse_yaml(cfg_path))
+    trainer.run()
+    print(f"training wall: {time.time()-t0:.0f}s -> {trainer.logdir}",
+          flush=True)
+
+    # standalone render of the exported scene at the SAME sample counts
+    import subprocess
+
+    r = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "..",
+                                      "rendering.py"),
+         cfg_path, trainer.logdir, "VAL", "0", "6"],
+        capture_output=True, text=True, timeout=7200,
+    )
+    print(r.stdout[-3000:], flush=True)
+    if r.returncode != 0:
+        print(r.stderr[-3000:], flush=True)
+    mpath = os.path.join(trainer.logdir, "val", "metric.txt")
+    if os.path.exists(mpath):
+        print(open(mpath).read(), flush=True)
+
+
+if __name__ == "__main__":
+    main()

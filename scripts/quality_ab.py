@@ -42,13 +42,20 @@ def main():
     )
     eval_cams = cam_lib.make_cameras(ks, jnp.asarray(c2ws))
 
-    for backend, stoch in (("windowed", False), ("xla", False),
-                           ("xla-stoch", True)):
-        tc = dataclasses.replace(
-            base,
-            hash_backend="windowed" if backend == "windowed" else "xla",
-            stochastic_hash_grad=stoch,
-        )
+    arms = [
+        ("windowed", dict(hash_backend="windowed")),
+        ("windowed-bf16", dict(hash_backend="windowed",
+                               hash_bwd_bf16=True)),
+        ("xla", dict(hash_backend="xla")),
+        ("xla-stoch", dict(hash_backend="xla",
+                           stochastic_hash_grad=True)),
+    ]
+    only = os.environ.get("AB_ARMS")
+    if only:
+        keep = set(only.split(","))
+        arms = [a for a in arms if a[0] in keep]
+    for backend, over in arms:
+        tc = dataclasses.replace(base, **over)
         params, fstate = field_lib.create_field(
             jax.random.PRNGKey(0),
             bbox_corner=np.array([-1.0, -1.0, -1.0]),

@@ -123,3 +123,36 @@ def test_bs_mode_unequal_camera_counts(tmp_path):
     assert int(tiles.state.step[0]) == 3
     log = open(os.path.join(trainer.logdir, "training.log")).read()
     assert "nan" not in log.lower()
+
+
+@pytest.mark.slow
+def test_trainer_table_sharded(tmp_path):
+    """Trainer e2e with TABLE_SHARDS=2: the (tiles x table) 2D mesh path
+    through train.py's entrypoint — features + moments sharded, windowed
+    kernel on local shards, export tagged windowed."""
+    datadir = str(tmp_path / "scene")
+    write_scene_dir(datadir, n_cameras=4, H=24, W=24, n_tiles=2)
+    cfg = tiny_cfg(datadir, total=6)
+    cfg.HASHGRID.LOG2_HASHMAP_SIZE = 15  # 2 window blocks -> 2 shards
+    cfg.TRAINING.update(
+        {"HASH_BACKEND": "windowed", "TABLE_SHARDS": 2, "NUM_SAMPLE": 8,
+         "NUM_BG_SAMPLE": 4, "NUM_MARCH": 32}
+    )
+
+    from scanerf_tpu.train.trainer import Trainer
+
+    trainer = Trainer(cfg)
+    tiles = trainer.run()
+    assert int(tiles.state.step[0]) == 6
+    assert dict(trainer.mesh.shape) == {"tiles": 4, "table": 2}
+    feats = tiles.state.params.field.features
+    shard_h = {
+        s.index[2].stop - s.index[2].start
+        for s in feats.addressable_shards
+    }
+    assert shard_h == {feats.shape[2] // 2}, shard_h
+    logdir = trainer.logdir
+    tile_dirs = sorted(glob.glob(os.path.join(logdir, "tile-*")))
+    assert len(tile_dirs) == 2
+    d = np.load(os.path.join(tile_dirs[0], "feature.npz"))
+    assert str(d.get("hash_layout", "global")) == "windowed"
