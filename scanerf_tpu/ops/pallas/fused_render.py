@@ -202,7 +202,7 @@ def _fused_kernel(res_ref, meta_ref, tid_ref, pts_ref, feat_hbm, dp_hbm,
         prev[1] = -1
 
     boc = meta_ref[0, 0, 0]
-    tid = tid_ref[0]
+    tid = tid_ref[0, 0]
 
     @pl.when(boc != prev[0])
     def _():
@@ -284,7 +284,10 @@ def hash_decode_fused(
             pl.BlockSpec(memory_space=pltpu.SMEM),  # resolutions
             pl.BlockSpec((1, 8, 4), lambda c: (c, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1,), lambda c: (c,), memory_space=pltpu.SMEM),
+            # rank-1 size-1 blocks are not lowerable on TPU — carry the
+            # per-chunk tile id as a [NC, 1] column
+            pl.BlockSpec((1, 1), lambda c: (c, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 8, CHUNK), lambda c: (c, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # feat_t
@@ -305,7 +308,8 @@ def hash_decode_fused(
         interpret=_interpret(),
     )(
         resolutions.astype(jnp.int32), stream.meta,
-        chunk_tids.astype(jnp.int32), stream.pts, feat_t, dec_slabs,
+        chunk_tids.astype(jnp.int32).reshape(NC, 1), stream.pts, feat_t,
+        dec_slabs,
     )
     # [NC, 4, CHUNK] -> [Np, 4]
     return out.transpose(0, 2, 1).reshape(NC * CHUNK, 4)
