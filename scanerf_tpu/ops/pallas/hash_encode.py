@@ -747,26 +747,28 @@ def _bwd_kernel(res_ref, meta_ref, pts_ref, g_ref, feat_hbm,
                 mt = (widf_t == w.astype(jnp.float32)).astype(jnp.float32)
                 dwin = jnp.zeros((8, 128), jnp.float32)
                 adt = jnp.bfloat16 if onehot_bf16 else jnp.float32
-                one = jnp.asarray(1.0, adt)
-                zero = jnp.asarray(0.0, adt)
                 for cc in range(8):
                     lane = slot[cc:cc + 1, :] & 127
                     sub = slot[cc:cc + 1, :] >> 7
                     wmc = w8[cc:cc + 1, :] * mt
                     # de-interleaved scatter: f0 targets sublanes 0-3,
-                    # f1 sublanes 4-7, SAME lane -> one one-hot dot
+                    # f1 sublanes 4-7, SAME lane -> one one-hot dot.
+                    # bf16 mode: build in f32 and CAST (Mosaic cannot
+                    # relayout an i1 mask straight into bf16 packing);
+                    # the dot still runs at the doubled bf16 MXU rate
+                    # with exact 0/1 one-hot entries and f32 accumulation
                     subm0 = iota8 == jnp.broadcast_to(sub, (8, 128))
                     subm1 = iota8 == jnp.broadcast_to(sub + 4, (8, 128))
                     ohl = jnp.where(
                         iota128 == jnp.broadcast_to(lane, (128, 128)),
-                        one, zero)
-                    v0 = (wmc * g0t).astype(adt)
-                    v1 = (wmc * g1t).astype(adt)
+                        1.0, 0.0).astype(adt)
                     a = (
-                        jnp.where(subm0, jnp.broadcast_to(v0, (8, 128)), zero)
-                        + jnp.where(subm1, jnp.broadcast_to(v1, (8, 128)),
-                                    zero)
-                    )
+                        jnp.where(subm0,
+                                  jnp.broadcast_to(wmc * g0t, (8, 128)), 0.0)
+                        + jnp.where(subm1,
+                                    jnp.broadcast_to(wmc * g1t, (8, 128)),
+                                    0.0)
+                    ).astype(adt)
                     dwin = dwin + jax.lax.dot_general(
                         a, ohl, dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32)

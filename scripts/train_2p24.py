@@ -23,7 +23,15 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main(steps=20, batch_log2=12, log2_hash=24):
+def main(steps=20, batch_log2=12, log2_hash=23):
+    # Measured on this fabric (round 3): 2^24 f32 single-chip OOMs at
+    # 20.0 GB / 15.75 GB even at small batches — the fabric's AOT path
+    # ignores buffer donation, so params+moments+grad exist in TWO
+    # copies across the update (~16.8 GB of pure table state). The
+    # single-chip ceiling here is 2^23 (the reference trains 2^24 on a
+    # 32 GB V100); 2^24 is the TABLE_SHARDS=2 two-chip configuration
+    # (mechanism bit-match-verified on the CPU mesh,
+    # tests/test_table_parallel.py).
     from scanerf_tpu.data.synthetic import make_sphere_dataset
     from scanerf_tpu.models import field as field_lib
     from scanerf_tpu.train import cameras as cam_lib
@@ -86,4 +94,6 @@ if __name__ == "__main__":
         kw["steps"] = int(sys.argv[1])
     if len(sys.argv) > 2:
         kw["batch_log2"] = int(sys.argv[2])
+    if len(sys.argv) > 3:
+        kw["log2_hash"] = int(sys.argv[3])
     main(**kw)
