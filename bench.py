@@ -72,7 +72,14 @@ def build(tc_kwargs):
     return state, data, tc, tx
 
 
-def measure(tc_kwargs, n_steps=10):
+def measure(tc_kwargs, n_steps=10, fuse=False):
+    """Step throughput. ``fuse=True`` runs n_steps inside ONE dispatch
+    (the trainer's fori_loop round shape) — measured round 3: ~10%
+    SLOWER on this fabric than the async per-step dispatch loop (which
+    already pipelines; the dynamic fori adds overhead), so the default
+    stays per-step, which is also round-1/2 comparable."""
+    import functools
+
     import jax
 
     from scanerf_tpu.train import tile as tile_lib
@@ -82,6 +89,31 @@ def measure(tc_kwargs, n_steps=10):
     rays_per_step = (2**tc.batch_log2 // n_cameras) // 4 * 4 * n_cameras
 
     key = jax.random.PRNGKey(0)
+
+    if fuse:
+        import jax.numpy as jnp
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def run_n(state, data, key, n):
+            def body(i, carry):
+                st, _ = carry
+                k = jax.random.fold_in(key, i)
+                st, aux = tile_lib.train_step.__wrapped__(
+                    st, data, k, tc, tx)
+                return st, aux["total_loss"]
+
+            return jax.lax.fori_loop(
+                0, n, body, (state, jnp.asarray(0.0)))
+
+        state, loss = run_n(state, data, key, jnp.asarray(2))  # compile
+        _ = float(loss)
+        t0 = time.perf_counter()
+        state, loss = run_n(state, data, jax.random.fold_in(key, 7),
+                            jnp.asarray(n_steps))
+        _ = float(loss)
+        dt = time.perf_counter() - t0
+        return rays_per_step * n_steps / dt
+
     # warmup + compile; NOTE: on the axon tunnel block_until_ready can
     # return before remote execution completes — force host fetches
     for i in range(3):
