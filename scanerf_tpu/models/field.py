@@ -418,27 +418,74 @@ def _render_rays_windowed(
     dirs_s = stream.pts[:, 4:7, :].transpose(0, 2, 1).reshape(Np, 3)
     wf = jnp.repeat(weight_feature(step), 2, axis=-1)
     dec = decoder_lib.apply_decoder(params.decoder, feats_s, dirs_s, wf)
+    # only 8 columns leave the sorted stream (sorts charge per payload):
+    # tint*specular is premultiplied (accumulate is linear, so the
+    # composite is unchanged) and the specular-L2's channel mean rides
+    # ONE column (mean over channels commutes with accumulate); the raw
+    # tint accumulation has no downstream consumer
+    spec2 = jnp.mean(dec["specular"] ** 2, axis=-1, keepdims=True)
     cols = jnp.concatenate(
-        [dec["sigma"], dec["diffuse"], dec["tint"], dec["specular"]], axis=-1
-    )  # [Np, 10]
+        [dec["sigma"], dec["diffuse"], dec["tint"] * dec["specular"],
+         spec2], axis=-1
+    )  # [Np, 8]
     rows = hw.unsort_rows(cols, stream.pidp, stream.inv_full, x.shape[0])
 
-    def as_dec(part, S):
+    def as_parts(part, S):
         return {
             "sigma": part[:, 0:1].reshape(B, S, 1),
             "diffuse": part[:, 1:4].reshape(B, S, 3),
-            "tint": part[:, 4:7].reshape(B, S, 3),
-            "specular": part[:, 7:10].reshape(B, S, 3),
+            "tintspec": part[:, 4:7].reshape(B, S, 3),
+            "spec2": part[:, 7:8].reshape(B, S, 1),
         }
 
     Nf = B * Sf
-    fg = _composite(as_dec(rows[:Nf], Sf), zfm, dfm, rays_d, vf,
-                    infinity=False, train=train)
-    bg = _composite(as_dec(rows[Nf:], Sb), zbm, dbm, rays_d, vb,
-                    infinity=True, train=train)
+    fg = _composite_premul(as_parts(rows[:Nf], Sf), zfm, dfm, rays_d, vf,
+                           infinity=False, train=train)
+    bg = _composite_premul(as_parts(rows[Nf:], Sb), zbm, dbm, rays_d, vb,
+                           infinity=True, train=train)
     fg["fore_valid"] = vf
     bg["bg_valid"] = vb
     return _compose_fg_bg(fg, bg, rays_o, rays_d, train)
+
+
+def _composite_premul(
+    out: dict[str, jax.Array],
+    z: jax.Array,
+    d: jax.Array,
+    rays_d: jax.Array,
+    valid: jax.Array,
+    infinity: bool,
+    train: bool,
+) -> dict[str, jax.Array]:
+    """_composite for the windowed stream's 8-column payload
+    (tint*specular premultiplied, specular^2 channel-mean carried):
+    identical outputs for every consumed field."""
+    weights, T_left = integrate.integrate_weights(
+        out["sigma"], d, rays_d, infinity=infinity
+    )
+    weights = jnp.where(valid[:, None], weights, 0.0)
+    T_left = jnp.where(valid, T_left, 1.0)
+
+    depth = integrate.accumulate(weights, z[..., None])
+    diffuse = integrate.accumulate(weights, out["diffuse"])
+    specular = integrate.accumulate(weights, out["tintspec"])
+    rgb = jnp.clip(diffuse + specular, 0.0, 1.0)
+    res = {
+        "rgb": rgb,
+        "depth": depth,
+        "diffuse": diffuse,
+        "specular": specular,
+        "T_left": T_left,
+        "weights": weights,
+        "valid": valid,
+    }
+    if train:
+        spec2 = integrate.accumulate(
+            jax.lax.stop_gradient(weights), out["spec2"]
+        )[..., 0]
+        nvalid = jnp.maximum(jnp.sum(valid.astype(spec2.dtype)), 1.0)
+        res["l2_reg_specular"] = jnp.sum(spec2 * valid) / nvalid
+    return res
 
 
 def _compose_fg_bg(fg, bg, rays_o, rays_d, train):

@@ -190,8 +190,8 @@ def _decode_chunk(pslab, feats, pts_ref):
     return jnp.concatenate([sigma, color], axis=0)  # [4, CHUNK]
 
 
-def _fused_kernel(res_ref, meta_ref, tid_ref, pts_ref, feat_hbm, dp_hbm,
-                  out_ref, slab, slab_d, pslab, featsbuf, prev,
+def _fused_kernel(res_ref, meta_ref, pts_ref, feat_hbm, dp_hbm,
+                  out_ref, slab, slab_d, pslab, prev,
                   sem, sem_p):
     c = pl.program_id(0)
     L = res_ref.shape[0]
@@ -202,7 +202,10 @@ def _fused_kernel(res_ref, meta_ref, tid_ref, pts_ref, feat_hbm, dp_hbm,
         prev[1] = -1
 
     boc = meta_ref[0, 0, 0]
-    tid = tid_ref[0, 0]
+    # per-chunk tile id rides meta[c, 1, 3] (an unused slot — only
+    # [c, 0, 3] is read, as wbase); Mosaic cannot lower size-1 SMEM
+    # blocks for a separate rank-1/rank-2 operand
+    tid = meta_ref[0, 1, 3]
 
     @pl.when(boc != prev[0])
     def _():
@@ -227,7 +230,12 @@ def _fused_kernel(res_ref, meta_ref, tid_ref, pts_ref, feat_hbm, dp_hbm,
     spans = [meta_ref[0, t, 2] for t in range(SUBT)]
     wbase = meta_ref[0, 0, 3]
 
-    def level_body(l, _):
+    # STATIC level loop: the feature rows are carried in registers and
+    # concatenated (a [2L, CHUNK] scratch would need a dynamic-sublane
+    # store per level, which Mosaic cannot lower: "dynamic store with
+    # unaligned indices")
+    def one_level(l):
+        subt_rows = []
         for t in range(SUBT):
             sl = pl.ds(t * 128, 128)
             slot, w8, _aux = _corner_setup(res_ref, pts_ref, l, t)
@@ -236,7 +244,7 @@ def _fused_kernel(res_ref, meta_ref, tid_ref, pts_ref, feat_hbm, dp_hbm,
             span_t = spans[t]
 
             def k_body(k, carry, slot=slot, w8=w8, widf_t=widf_t,
-                       wmin_t=wmin_t):
+                       wmin_t=wmin_t, l=l):
                 s0, s1 = carry
                 w = wmin_t + k
                 wl = w - wbase - boc * WB
@@ -253,12 +261,18 @@ def _fused_kernel(res_ref, meta_ref, tid_ref, pts_ref, feat_hbm, dp_hbm,
 
             zero = jnp.zeros((1, 128), jnp.float32)
             s0, s1 = jax.lax.fori_loop(0, span_t, k_body, (zero, zero))
-            featsbuf[2 * l, sl] = s0[0]
-            featsbuf[2 * l + 1, sl] = s1[0]
-        return ()
+            subt_rows.append((s0, s1))
+        f0 = jnp.concatenate([r[0] for r in subt_rows], axis=1)  # [1,CHUNK]
+        f1 = jnp.concatenate([r[1] for r in subt_rows], axis=1)
+        return f0, f1
 
-    jax.lax.fori_loop(0, L, level_body, ())
-    out_ref[0, :, :] = _decode_chunk(pslab, featsbuf[:, :], pts_ref)
+    rows = []
+    for l in range(L):
+        f0, f1 = one_level(l)
+        rows.append(f0)
+        rows.append(f1)
+    feats = jnp.concatenate(rows, axis=0)  # [2L, CHUNK]
+    out_ref[0, :, :] = _decode_chunk(pslab, feats, pts_ref)
 
 
 def hash_decode_fused(
@@ -283,11 +297,7 @@ def hash_decode_fused(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # resolutions
             pl.BlockSpec((1, 8, 4), lambda c: (c, 0, 0),
-                         memory_space=pltpu.SMEM),
-            # rank-1 size-1 blocks are not lowerable on TPU — carry the
-            # per-chunk tile id as a [NC, 1] column
-            pl.BlockSpec((1, 1), lambda c: (c, 0),
-                         memory_space=pltpu.SMEM),
+                         memory_space=pltpu.SMEM),  # meta (+tid in [1,3])
             pl.BlockSpec((1, 8, CHUNK), lambda c: (c, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # feat_t
@@ -300,16 +310,15 @@ def hash_decode_fused(
             pltpu.VMEM((L, BLOCK_SUB, 128), features.dtype),  # slab
             pltpu.VMEM((L, BLOCK_SUB, 128), jnp.float32),  # slab_d
             pltpu.VMEM((PROWS, 128), jnp.float32),  # pslab
-            pltpu.VMEM((2 * L, CHUNK), jnp.float32),  # featsbuf
             pltpu.SMEM((2,), jnp.int32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=_interpret(),
     )(
-        resolutions.astype(jnp.int32), stream.meta,
-        chunk_tids.astype(jnp.int32).reshape(NC, 1), stream.pts, feat_t,
-        dec_slabs,
+        resolutions.astype(jnp.int32),
+        stream.meta.at[:, 1, 3].set(chunk_tids.astype(jnp.int32)),
+        stream.pts, feat_t, dec_slabs,
     )
     # [NC, 4, CHUNK] -> [Np, 4]
     return out.transpose(0, 2, 1).reshape(NC * CHUNK, 4)

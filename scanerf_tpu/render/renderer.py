@@ -266,8 +266,10 @@ def _sample_union(
 
     j = jnp.arange(num_sample, dtype=rays_o.dtype)
     s = j[None] * (total[:, None] / num_sample)
-    seg_idx = jnp.sum((cum[:, None, :] <= s[:, :, None]).astype(jnp.int32), -1)
-    seg_idx = jnp.clip(seg_idx, 0, num_march - 1)
+    # two-level CDF inversion (see ops/sampling._cdf_invert)
+    from scanerf_tpu.ops.sampling import _cdf_invert
+
+    seg_idx = _cdf_invert(cum, s, num_march)
     cum_before = jnp.take_along_axis(
         jnp.concatenate([jnp.zeros_like(cum[:, :1]), cum], 1), seg_idx, 1
     )

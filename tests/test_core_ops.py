@@ -181,3 +181,23 @@ def test_inverse_z_sampling():
     assert z[0, -1] > 1e5
     assert np.all(np.diff(np.asarray(z[0])) > 0)
     np.testing.assert_allclose(dist[0, -1], 1e-6, atol=1e-9)
+
+
+def test_cdf_invert_matches_naive():
+    """Two-level CDF inversion == the one-shot compare-reduce."""
+    from scanerf_tpu.ops.sampling import _cdf_invert
+
+    rng = np.random.RandomState(0)
+    for M in (512, 64, 48):  # 48: non-divisible fallback path
+        N, S = 33, 17
+        cum = np.cumsum(rng.rand(N, M).astype(np.float32) * 0.1, axis=1)
+        total = cum[:, -1]
+        s = (np.arange(S)[None] * (total[:, None] / S)).astype(np.float32)
+        # include exact-tie and beyond-total queries
+        s[:, -1] = total * 1.5
+        s[:, 0] = cum[:, 3]
+        got = np.asarray(_cdf_invert(jnp.asarray(cum), jnp.asarray(s), M))
+        want = np.clip(
+            np.sum(cum[:, None, :] <= s[:, :, None], axis=-1), 0, M - 1
+        )
+        np.testing.assert_array_equal(got, want)
