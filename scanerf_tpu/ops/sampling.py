@@ -50,20 +50,24 @@ def occupancy_lookup(
     return occ & inb
 
 
-def _cdf_invert(cum: jax.Array, s: jax.Array, M: int) -> jax.Array:
+def _cdf_invert(
+    cum: jax.Array, s: jax.Array, M: int, two_level: bool = False
+) -> jax.Array:
     """seg_idx[n, j] = #{m : cum[n, m] <= s[n, j]}, clipped to [0, M).
 
-    Two-level compare: a one-shot [N, S, M] compare-reduce is ~1e9
-    elements at the default workload (~200 ms, the single biggest piece
-    of the round-2 training step); a vmapped searchsorted lowers to a
-    latency-bound sequential search on TPU and is WORSE end-to-end
-    (measured -21%). Coarse compare over M/16 block tails + a 16-wide
-    gathered fine compare is ~15x fewer vector ops with one
-    take_along_axis gather.
+    The one-shot [N, S, M] broadcast-compare-reduce is the FASTEST
+    implementation on this fabric despite its ~1e9 lane ops at the
+    default workload — both measured alternatives lose end-to-end
+    (PERF.md round 3): a vmapped ``jnp.searchsorted`` lowers to a
+    latency-bound sequential search (-21% step throughput), and the
+    two-level variant below (coarse block-tail compare + 16-wide
+    take_along_axis fine step, ~15x fewer vector ops) loses ~2x to its
+    gather. XLA fuses the compare into the reduce without materializing
+    [N, S, M]; gathers, not FLOPs, are what this fabric punishes.
     """
     N, S = s.shape
-    C = 16  # fine block width
-    if M % C != 0 or M <= C:
+    C = 16  # fine block width (two-level variant)
+    if not two_level or M % C != 0 or M <= C:
         seg = jnp.sum(
             (cum[:, None, :] <= s[:, :, None]).astype(jnp.int32), axis=-1
         )

@@ -196,7 +196,10 @@ def test_cdf_invert_matches_naive():
         # include exact-tie and beyond-total queries
         s[:, -1] = total * 1.5
         s[:, 0] = cum[:, 3]
-        got = np.asarray(_cdf_invert(jnp.asarray(cum), jnp.asarray(s), M))
+        got = np.asarray(
+            _cdf_invert(jnp.asarray(cum), jnp.asarray(s), M,
+                        two_level=True)
+        )
         want = np.clip(
             np.sum(cum[:, None, :] <= s[:, :, None], axis=-1), 0, M - 1
         )
