@@ -87,6 +87,13 @@ class MultiTileScene:
     lut_dims: tuple | None = flax.struct.field(
         pytree_node=False, default=None
     )
+    # windowed fast path: the SAME tables pre-laid-out as [L, T*H, F]
+    # (tile-major per level). Built ONCE on the host at scene load —
+    # doing `features.transpose(1,0,2,3)` inside the jitted render is a
+    # full-table copy per chunk, and XLA's T(2,128) layout for the
+    # trailing F=2 dim pads it 8x (measured: 16 GB for 2 GB of tables at
+    # T=32, an instant OOM). None falls back to the in-graph transpose.
+    features_flat: jax.Array | None = None  # [L, T*H, F]
 
 
 def _union_occupancy(exports: list[dict]) -> np.ndarray:
@@ -168,6 +175,14 @@ def build_union_grid(
     return occ, lo.astype(np.float32), (G * cell).astype(np.float32)
 
 
+def flatten_tables(features: np.ndarray) -> np.ndarray:
+    """[T, L, H, F] -> [L, T*H, F] tile-major per level, host-side."""
+    T, L, H, F = features.shape
+    return np.ascontiguousarray(
+        np.transpose(np.asarray(features), (1, 0, 2, 3))
+    ).reshape(L, T * H, F)
+
+
 def load_scene(tile_dirs: list[str], dtype=jnp.float32) -> MultiTileScene:
     exports = [load_tile_export(d) for d in tile_dirs]
     occ = _union_occupancy(exports)
@@ -192,6 +207,9 @@ def load_scene(tile_dirs: list[str], dtype=jnp.float32) -> MultiTileScene:
         lut_dims=ldims,
         features=jnp.asarray(
             np.stack([e["features"] for e in exports])
+        ).astype(dtype),
+        features_flat=jnp.asarray(
+            flatten_tables(np.stack([e["features"] for e in exports]))
         ).astype(dtype),
         decoders=stacked_dec,
         resolutions=jnp.asarray(res),
@@ -715,7 +733,10 @@ def _render_windowed(
     # tables stay in the scene dtype: load_scene(dtype=jnp.bfloat16)
     # keeps them half-width through the kernel's slab DMA (widened to
     # f32 in-kernel at relayout) — half the HBM footprint and traffic
-    feat_flat = scene.features.transpose(1, 0, 2, 3).reshape(L, T * H, F)
+    if scene.features_flat is not None:
+        feat_flat = scene.features_flat  # precomputed at load (no copy)
+    else:
+        feat_flat = scene.features.transpose(1, 0, 2, 3).reshape(L, T * H, F)
     res0 = scene.resolutions[0]
 
     # per-chunk decoder: each CHUNK lies inside one tile's table range

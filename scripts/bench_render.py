@@ -54,6 +54,9 @@ def make_scene(T, H_table=2**19, seed=0):
         lut_cell=jnp.asarray(lcell),
         lut_dims=ldims,
         features=jnp.stack(feats),
+        features_flat=jnp.asarray(
+            renderer.flatten_tables(np.stack([np.asarray(f) for f in feats]))
+        ),
         decoders=jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *decs),
         resolutions=jnp.broadcast_to(jnp.asarray(res), (T, L, 3)),
         block_corner=jnp.asarray(corners),

@@ -263,3 +263,24 @@ def test_windowed_lut_render_matches_no_lut():
     np.testing.assert_allclose(
         np.asarray(a["rgb"]), np.asarray(b["rgb"]), atol=1e-6
     )
+
+
+def test_features_flat_matches_fallback():
+    """Precomputed [L, T*H, F] tables (load_scene's features_flat) must
+    render identically to the in-graph transpose fallback — the
+    precompute exists because the per-chunk transpose OOMs at T=32
+    (16 GB of XLA layout padding for 2 GB of tables)."""
+    scene = make_scene(T=2, seed=7)
+    flat = renderer.flatten_tables(np.asarray(scene.features))
+    scene_flat = scene.replace(features_flat=jnp.asarray(flat))
+    rng = np.random.RandomState(11)
+    rays_o = jnp.asarray(rng.randn(12, 3).astype(np.float32) * 0.3)
+    rays_d = jnp.asarray(rng.randn(12, 3).astype(np.float32))
+    kw = dict(num_sample=8, num_bg_sample=4, num_march=32,
+              backend="windowed")
+    a = renderer.render_rays(scene, rays_o, rays_d, **kw)
+    b = renderer.render_rays(scene_flat, rays_o, rays_d, **kw)
+    np.testing.assert_array_equal(np.asarray(a["rgb"]), np.asarray(b["rgb"]))
+    np.testing.assert_array_equal(
+        np.asarray(a["depth"]), np.asarray(b["depth"])
+    )
