@@ -90,35 +90,44 @@ def _cdf_invert(
     return jnp.clip(seg, 0, M - 1)
 
 
-def sample_points_grid(
+def cdf_sample_from_bounds(
     rays_o: jax.Array,
     rays_d: jax.Array,
+    t_near: jax.Array,
+    t_far: jax.Array,
     num_sample: int,
     grid: jax.Array,
     grid_corner: jax.Array,
     grid_size: jax.Array,
-    num_march: int = 512,
-) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Occupancy-proportional sampling (see module docstring).
+    num_march: int,
+    backend: str = "auto",
+) -> tuple[jax.Array, jax.Array]:
+    """Shared CDF-sampling core: march ``num_march`` candidate segments
+    over [t_near, t_far], weight by occupancy, invert at ``num_sample``
+    left-edge quantiles. Returns z_vals [N, S] and the total occupied
+    arc length [N] (caller derives validity/dists/sentinels).
 
-    Args:
-        rays_o, rays_d: [N, 3] (d unnormalized; t is in units of |d|).
-        num_sample: S samples per ray.
-        grid: [Rx, Ry, Rz] bool occupancy; spans [corner, corner+size]
-              (the tile's INNER bbox: min_bbox + bbox_size/4, bbox_size/2 —
-              ``hashgrid/__init__.py:278-285``).
-        num_march: M candidate segments (resolution of the march).
-
-    Returns:
-        z_vals [N, S], dists [N, S] (-1 sentinels on invalid rays),
-        valid [N] bool.
+    ``backend``: "xla" (the op-by-op composition below, also the parity
+    oracle), "pallas" (ops/pallas/sampler.py fused kernel), or "auto"
+    (pallas on TPU when the grid fits the kernel's bitpacked LUT and
+    num_march is lane-aligned).
     """
-    N = rays_o.shape[0]
-    bounds = ray_aabb(rays_o, rays_d, grid_corner + grid_size / 2, grid_size / 2)
-    t_near, t_far = bounds[:, 0], bounds[:, 1]
-    hit = t_near != -1.0
-    t_near = jnp.where(hit, t_near, 0.0)
-    t_far = jnp.where(hit, t_far, 1.0)
+    if backend == "auto":
+        from scanerf_tpu.ops.pallas import sampler as _ps
+
+        backend = (
+            "pallas"
+            if jax.default_backend() == "tpu"
+            and _ps.supports(grid.shape, num_march)
+            else "xla"
+        )
+    if backend == "pallas":
+        from scanerf_tpu.ops.pallas import sampler as _ps
+
+        return _ps.sample_fused(
+            rays_o, rays_d, t_near, t_far, num_sample, grid,
+            grid_corner, grid_size, num_march,
+        )
 
     # candidate segment edges/midpoints
     frac = jnp.linspace(0.0, 1.0, num_march + 1, dtype=rays_o.dtype)
@@ -131,7 +140,6 @@ def sample_points_grid(
     occ_len = jnp.where(occ, seg, 0.0)  # [N, M]
     cum = jnp.cumsum(occ_len, axis=1)  # [N, M] inclusive
     total = cum[:, -1]  # [N]
-    valid = hit & (total > 0)
 
     # invert the CDF at left-edge quantiles s_j = j * total / S
     j = jnp.arange(num_sample, dtype=rays_o.dtype)
@@ -142,6 +150,45 @@ def sample_points_grid(
     )
     seg_left = jnp.take_along_axis(edges[:, :-1], seg_idx, axis=1)
     z_vals = seg_left + (s - cum_before)
+    return z_vals, total
+
+
+def sample_points_grid(
+    rays_o: jax.Array,
+    rays_d: jax.Array,
+    num_sample: int,
+    grid: jax.Array,
+    grid_corner: jax.Array,
+    grid_size: jax.Array,
+    num_march: int = 512,
+    backend: str = "auto",
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Occupancy-proportional sampling (see module docstring).
+
+    Args:
+        rays_o, rays_d: [N, 3] (d unnormalized; t is in units of |d|).
+        num_sample: S samples per ray.
+        grid: [Rx, Ry, Rz] bool occupancy; spans [corner, corner+size]
+              (the tile's INNER bbox: min_bbox + bbox_size/4, bbox_size/2 —
+              ``hashgrid/__init__.py:278-285``).
+        num_march: M candidate segments (resolution of the march).
+        backend: see ``cdf_sample_from_bounds``.
+
+    Returns:
+        z_vals [N, S], dists [N, S] (-1 sentinels on invalid rays),
+        valid [N] bool.
+    """
+    bounds = ray_aabb(rays_o, rays_d, grid_corner + grid_size / 2, grid_size / 2)
+    t_near, t_far = bounds[:, 0], bounds[:, 1]
+    hit = t_near != -1.0
+    t_near = jnp.where(hit, t_near, 0.0)
+    t_far = jnp.where(hit, t_far, 1.0)
+
+    z_vals, total = cdf_sample_from_bounds(
+        rays_o, rays_d, t_near, t_far, num_sample, grid,
+        grid_corner, grid_size, num_march, backend=backend,
+    )
+    valid = hit & (total > 0)
     dists = jnp.broadcast_to(total[:, None] / num_sample, z_vals.shape)
 
     z_vals = jnp.where(valid[:, None], z_vals, -1.0)

@@ -270,29 +270,15 @@ def _sample_union(
     t_near = jnp.where(any_hit, t_near, 0.0)
     t_far = jnp.where(any_hit, t_far, 1.0)
 
-    frac = jnp.linspace(0.0, 1.0, num_march + 1, dtype=rays_o.dtype)
-    edges = t_near[:, None] + (t_far - t_near)[:, None] * frac[None]
-    mids = 0.5 * (edges[:, :-1] + edges[:, 1:])
-    pts = rays_o[:, None, :] + mids[..., None] * rays_d[:, None, :]
-    occ = _union_occupancy_lookup(scene, pts)  # [N, M]
+    # shared CDF core (fused Pallas sampler on TPU when the union grid
+    # fits the kernel's bitpacked LUT — ops/pallas/sampler.py)
+    from scanerf_tpu.ops.sampling import cdf_sample_from_bounds
 
-    seg = (t_far - t_near)[:, None] / num_march
-    occ_len = jnp.where(occ, seg, 0.0)
-    cum = jnp.cumsum(occ_len, axis=1)
-    total = cum[:, -1]
-    valid = any_hit & (total > 0)
-
-    j = jnp.arange(num_sample, dtype=rays_o.dtype)
-    s = j[None] * (total[:, None] / num_sample)
-    # two-level CDF inversion (see ops/sampling._cdf_invert)
-    from scanerf_tpu.ops.sampling import _cdf_invert
-
-    seg_idx = _cdf_invert(cum, s, num_march)
-    cum_before = jnp.take_along_axis(
-        jnp.concatenate([jnp.zeros_like(cum[:, :1]), cum], 1), seg_idx, 1
+    z_vals, total = cdf_sample_from_bounds(
+        rays_o, rays_d, t_near, t_far, num_sample, scene.union_occ,
+        scene.union_corner, scene.union_size, num_march,
     )
-    seg_left = jnp.take_along_axis(edges[:, :-1], seg_idx, 1)
-    z_vals = seg_left + (s - cum_before)
+    valid = any_hit & (total > 0)
     dists = jnp.broadcast_to(total[:, None] / num_sample, z_vals.shape)
     z_vals = jnp.where(valid[:, None], z_vals, 0.0)
     dists = jnp.where(valid[:, None], dists, 0.0)

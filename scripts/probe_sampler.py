@@ -90,11 +90,52 @@ def main():
 
     @jax.jit
     def full(o, d):
-        return sampling.sample_points_grid(o, d, S, grid, corner, size, M)
+        return sampling.sample_points_grid(
+            o, d, S, grid, corner, size, M, backend="xla"
+        )
 
     t_full = timeit(full, ro, rd)
-    print(f"full sampler:        {t_full*1e3:.1f} ms", flush=True)
+    print(f"full sampler (xla):  {t_full*1e3:.1f} ms", flush=True)
     print(f"accounted: {(t_march+t_inv+t_place)*1e3:.1f} ms", flush=True)
+
+    @jax.jit
+    def fused(o, d):
+        return sampling.sample_points_grid(
+            o, d, S, grid, corner, size, M, backend="pallas"
+        )
+
+    # parity spot-check on chip before timing
+    zx, dx_, vx = full(ro, rd)
+    zp, dp_, vp = fused(ro, rd)
+    same_v = bool(jnp.all(vx == vp))
+    dz = float(jnp.max(jnp.where(vx[:, None], jnp.abs(zx - zp), 0.0)))
+    print(f"fused parity: valid match={same_v} max|dz|={dz:.2e}", flush=True)
+    t_fused = timeit(fused, ro, rd)
+    print(f"full sampler (fused pallas): {t_fused*1e3:.1f} ms", flush=True)
+
+    # the training-shaped per-tile grid (128^3) exercises the large-LUT
+    # scan path; the kernel gates itself off via supports() if too big
+    from scanerf_tpu.ops.pallas import sampler as ps
+
+    R2 = 128
+    grid2 = jnp.asarray(rng.rand(R2, R2, R2) < 0.3)
+    if ps.supports(grid2.shape, M):
+        @jax.jit
+        def fused2(o, d):
+            return sampling.sample_points_grid(
+                o, d, S, grid2, corner, size, M, backend="pallas"
+            )
+
+        @jax.jit
+        def full2(o, d):
+            return sampling.sample_points_grid(
+                o, d, S, grid2, corner, size, M, backend="xla"
+            )
+
+        t2x = timeit(full2, ro, rd)
+        t2p = timeit(fused2, ro, rd)
+        print(f"128^3 grid: xla {t2x*1e3:.1f} ms, fused {t2p*1e3:.1f} ms",
+              flush=True)
 
 
 if __name__ == "__main__":
