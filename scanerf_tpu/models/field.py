@@ -36,6 +36,7 @@ from scanerf_tpu.ops.hash_encode import (
     hash_encode_stoch,
     init_features,
     make_level_resolutions,
+    table_rows,
 )
 
 N_LEVELS = 16
@@ -47,7 +48,7 @@ FEAT_DIM = N_LEVELS * N_FEATURES  # 32
 class FieldParams:
     """Trainable per-tile parameters."""
 
-    features: jax.Array  # [L, H, F]
+    features: jax.Array  # canonical flat [L, H*F] (hash_encode.as_3d)
     decoder: dict  # ShallowMLP params
 
 
@@ -384,7 +385,7 @@ def _render_rays_windowed(
         jnp.broadcast_to(rays_d[:, None, :], (B, Sb, 3)).reshape(-1, 3),
     ], axis=0)
 
-    Htab = params.features.shape[1] * table_shards
+    Htab = table_rows(params.features) * table_shards
     stream = hw.sort_pack(x, dirs, Htab)
     if table_shards > 1:
         from scanerf_tpu.parallel.table_parallel import (
@@ -537,7 +538,7 @@ def render_rays(
     table_axis/table_shards: H-sharded tables (windowed backend only;
     see _render_rays_windowed)."""
     backend = effective_backend(
-        backend, params.features.shape[1] * table_shards
+        backend, table_rows(params.features) * table_shards
     )
     if backend == "windowed":
         return _render_rays_windowed(

@@ -36,6 +36,29 @@ import numpy as np
 
 PRIMES = (1, 2654435761, 805459861)
 
+
+def as_3d(features: jax.Array, n_features: int = 2) -> jax.Array:
+    """Normalize a hash table to [L, H, F].
+
+    The canonical TRAINING-STATE shape is flat [L, H*F]: any f32 array
+    with a trailing dim of 2 that XLA materializes at a jit boundary
+    gets a T(2,128) tiled layout with 8x padding (measured: 512 MB per
+    per-tile table copy in the trainer's shard_fn, an instant OOM at
+    city scale). State, gradients, and optimizer moments therefore stay
+    flat; the [L, H, F] view exists only inside compute that needs it.
+    """
+    if features.ndim == 2:
+        L, HF = features.shape
+        return features.reshape(L, HF // n_features, n_features)
+    return features
+
+
+def table_rows(features: jax.Array, n_features: int = 2) -> int:
+    """Hash-table row count H for either layout ([L, H, F] or flat [L, H*F])."""
+    if features.ndim == 2:
+        return features.shape[1] // n_features
+    return features.shape[1]
+
 # corner order matches linear_weight(): 000 001 010 011 100 101 110 111
 _CORNERS = np.array(
     [
@@ -133,6 +156,7 @@ def hash_encode(
     semantics as the CUDA atomicAdd backward
     (``hashgrid_bg_kernel.cu:195-222``).
     """
+    features = as_3d(features)
     L, H, F = features.shape
     N = points.shape[0]
 
@@ -187,6 +211,8 @@ def _hes_fwd(points, features, resolutions):
 
 def _hes_bwd(res, g):
     points, features, resolutions = res
+    in_shape = features.shape
+    features = as_3d(features)
     L, H, F = features.shape
     N = points.shape[0]
     g = g.reshape(N, L, F)
@@ -266,7 +292,7 @@ def _hes_bwd(res, g):
         jnp.zeros_like(points),
         (features, resolutions, jnp.transpose(g, (1, 0, 2))),
     )
-    return d_points, d_tables, None
+    return d_points, d_tables.reshape(in_shape), None
 
 
 hash_encode_stoch.defvjp(_hes_fwd, _hes_bwd)
@@ -284,4 +310,8 @@ def init_features(
     fan_in = H * n_features
     fan_out = n_levels
     std = float(np.sqrt(2.0 / (fan_in + fan_out)))
-    return std * jax.random.normal(key, (n_levels, H, n_features), jnp.float32)
+    # canonical TRAINING-STATE layout is flat [L, H*F] (see as_3d: a
+    # trailing dim of 2 costs 8x layout padding at every jit boundary)
+    return std * jax.random.normal(
+        key, (n_levels, H * n_features), jnp.float32
+    )

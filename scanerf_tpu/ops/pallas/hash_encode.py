@@ -57,6 +57,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from scanerf_tpu.ops import hash_encode as he
+
 PRIMES = (1, 2654435761, 805459861)
 
 W = 512  # entries per window (one 8x128 f32 vreg of interleaved feats)
@@ -135,10 +137,11 @@ def hash_encode_windowed_ref(
 ) -> jax.Array:
     """XLA gather/scatter implementation of the SAME windowed hash.
 
-    points [N, 3] in [-2, 2]; features [L, H, F]; resolutions [L, 3].
-    Bit-exact oracle for the Pallas kernel (same index math); also the
-    CPU-backend path.
+    points [N, 3] in [-2, 2]; features [L, H, F] or flat [L, H*F];
+    resolutions [L, 3]. Bit-exact oracle for the Pallas kernel (same
+    index math); also the CPU-backend path.
     """
+    features = he.as_3d(features)
     L, H, F = features.shape
     N = points.shape[0]
     u = (points + 2.0) * 0.25
@@ -808,15 +811,23 @@ def _bwd_kernel(res_ref, meta_ref, pts_ref, g_ref, feat_hbm,
 # ---------------------------------------------------------------------------
 
 def _features_tiled(features: jax.Array) -> jax.Array:
-    """[L, H, F=2] -> [L, NW*8, 128]: window-major 8x128 vreg tiles of
-    interleaved (entry, feature) lanes."""
-    L, H, F = features.shape
-    assert F == 2, "kernel assumes F=2"
-    return features.reshape(L, H * F // 128, 128)
+    """[L, H, F=2] (or canonical flat [L, H*F]) -> [L, NW*8, 128]:
+    window-major 8x128 vreg tiles of interleaved (entry, feature) lanes.
+
+    The flat form is the training-state layout (see he.as_3d: trailing
+    F=2 pays 8x tile padding whenever XLA materializes it); both
+    reshape to the identical tiled view."""
+    if features.ndim == 2:
+        L, HF = features.shape
+    else:
+        L, H, F = features.shape
+        assert F == 2, "kernel assumes F=2"
+        HF = H * F
+    return features.reshape(L, HF // 128, 128)
 
 
 def _run_fwd(stream: SortedStream, features, resolutions):
-    L, H, F = features.shape
+    L = features.shape[0]
     NC = stream.pts.shape[0]
     assert features.dtype in (jnp.float32, jnp.bfloat16), features.dtype
     feat_t = _features_tiled(features)
@@ -850,7 +861,7 @@ def _run_fwd(stream: SortedStream, features, resolutions):
 
 def _run_bwd(stream: SortedStream, features, resolutions, g_sorted,
              onehot_bf16: bool = False):
-    L, H, F = features.shape
+    L = features.shape[0]
     NC = stream.pts.shape[0]
     assert features.dtype == jnp.float32, (
         "bf16 tables are inference-only (no backward)")
@@ -894,7 +905,9 @@ def _run_bwd(stream: SortedStream, features, resolutions, g_sorted,
 
     # unvisited blocks hold junk (never flushed) -> mask them out
     vis = jnp.repeat(stream.visited, BLOCK_SUB)  # [NW*8]
-    d_features = jnp.where(vis[None, :, None], dacc, 0.0).reshape(L, H, F)
+    d_features = jnp.where(vis[None, :, None], dacc, 0.0).reshape(
+        features.shape
+    )
     return dpts, d_features
 
 
@@ -939,13 +952,14 @@ hash_lookup_sorted.defvjp(_hls_fwd, _hls_bwd)
 def hash_encode_windowed(points, features, resolutions):
     """Drop-in replacement for ``hash_encode`` using the windowed hash.
 
-    points [N, 3] in [-2, 2]; features [L, H, 2] (H pow2 >= 16384);
-    resolutions [L, 3] int32. Returns [N, L*2] in the ORIGINAL order.
-    Prefer sort_pack + hash_lookup_sorted + unsort_rows and keep the
-    decoder in sorted space — the unsort here moves L*F columns.
+    points [N, 3] in [-2, 2]; features [L, H, 2] or flat [L, H*2]
+    (H pow2 >= 16384); resolutions [L, 3] int32. Returns [N, L*2] in
+    the ORIGINAL order. Prefer sort_pack + hash_lookup_sorted +
+    unsort_rows and keep the decoder in sorted space — the unsort here
+    moves L*F columns.
     """
     N = points.shape[0]
-    H = features.shape[1]
+    H = he.table_rows(features)
     stream = sort_pack(points, jnp.zeros_like(points), H)
     feats_s = hash_lookup_sorted(
         stream.pts, stream.meta, stream.visited, features, resolutions)

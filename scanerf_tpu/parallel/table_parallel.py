@@ -43,10 +43,12 @@ from scanerf_tpu.ops.pallas import hash_encode as hw
 
 
 def shard_features(features: jax.Array, mesh: Mesh, axis: str = "table"):
-    """Place [L, H, F] features H-sharded over ``axis``."""
-    return jax.device_put(
-        features, NamedSharding(mesh, P(None, axis, None))
-    )
+    """Place features H-sharded over ``axis``. Works for both layouts:
+    flat [L, H*F] (canonical training state — contiguous chunks of
+    dim 1 are whole H-row ranges since F divides the chunk) and
+    [L, H, F]."""
+    spec = P(None, axis) if features.ndim == 2 else P(None, axis, None)
+    return jax.device_put(features, NamedSharding(mesh, spec))
 
 
 def localize_meta(meta, visited, dev_idx, nb_local):
@@ -126,7 +128,7 @@ def encode_table_parallel(
     same sharding — ready for a sharded optimizer).
     """
     N = x.shape[0]
-    L, H, F = features.shape
+    H = hw.he.table_rows(features)
     n_dev = mesh.shape[axis]
     _, NB, _ = hw.geometry(H)
     assert NB % n_dev == 0, (NB, n_dev)
@@ -143,10 +145,11 @@ def encode_table_parallel(
         feats = jax.lax.psum(feats, axis)  # one owner per point
         return hw.unsort_rows(feats, pidp, inv_full, N)
 
+    feat_spec = P(None, axis) if features.ndim == 2 else P(None, axis, None)
     return jax.shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(), P(None, axis, None)),
+        in_specs=(P(), P(), P(), P(), P(), feat_spec),
         out_specs=P(),
         check_vma=False,
     )(stream.pts, stream.meta, stream.pidp, stream.inv_full,

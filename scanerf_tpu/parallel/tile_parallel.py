@@ -63,8 +63,8 @@ def make_tile_mesh(devices=None, n_table: int = 1) -> Mesh:
 def _is_table_leaf(x, feat_shape) -> bool:
     """A stacked-state leaf carrying per-tile hash features (the features
     themselves and their Adam mu/nu inside the optimizer state) — matched
-    by exact shape: [T, L, H, F] with H large makes collisions with any
-    other state leaf impossible."""
+    by exact shape: [T, L, H*F] (canonical flat) with H large makes
+    collisions with any other state leaf impossible."""
     return hasattr(x, "shape") and tuple(x.shape) == tuple(feat_shape)
 
 
@@ -72,12 +72,14 @@ def state_specs(tiles: ParallelTiles, mesh: Mesh):
     """Per-leaf PartitionSpecs for the stacked ParallelTiles: everything
     shards over ``tiles``; hash-feature leaves (features + moments)
     additionally shard H over ``table`` when the mesh has that axis."""
-    feat_shape = tiles.state.params.field.features.shape  # [T, L, H, F]
+    feat_shape = tiles.state.params.field.features.shape
     has_table = "table" in mesh.axis_names
+    # dim 2 carries H (flat [T, L, H*F]) or H then F ([T, L, H, F])
+    feat_spec = P(*(("tiles", None, "table") + (None,) * (len(feat_shape) - 3)))
 
     def spec_of(x):
         if has_table and _is_table_leaf(x, feat_shape):
-            return P("tiles", None, "table", None)
+            return feat_spec
         return P("tiles")
 
     return jax.tree_util.tree_map(spec_of, tiles)

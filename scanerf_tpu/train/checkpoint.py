@@ -54,7 +54,12 @@ def load_checkpoint(path: str, template: TrainState) -> TrainState:
     for p, leaf in flat:
         key = "/".join(str(q) for q in p)
         arr = data[key]
-        leaves.append(jnp.asarray(arr, dtype=np.asarray(leaf).dtype))
+        tmpl = np.asarray(leaf)
+        if arr.shape != tmpl.shape and arr.size == tmpl.size:
+            # layout migration: hash tables were [L, H, F] before the
+            # flat [L, H*F] canonical form (hash_encode.as_3d)
+            arr = arr.reshape(tmpl.shape)
+        leaves.append(jnp.asarray(arr, dtype=tmpl.dtype))
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
@@ -128,7 +133,12 @@ def load_tile_export(tile_dir: str) -> dict:
         "hash_layout": (
             str(feat["hash_layout"]) if "hash_layout" in feat else "global"
         ),
-        "features": feat["features"],
+        # renderer-side consumers expect [L, H, F]; training state (and
+        # hence new exports) is canonically flat [L, H*F]
+        "features": (
+            feat["features"].reshape(feat["features"].shape[0], -1, 2)
+            if feat["features"].ndim == 2 else feat["features"]
+        ),
         "occupied_grid": feat["occupied_grid"],
         "block_corner": feat["block_corner"],
         "block_size": feat["block_size"],

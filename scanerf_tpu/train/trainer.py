@@ -337,7 +337,7 @@ class Trainer:
                 # features here are global-shaped (outside shard_map), so
                 # H is already the full table size
                 backend=field_lib.effective_backend(
-                    self.tc.hash_backend, s.params.field.features.shape[1]
+                    self.tc.hash_backend, field_lib.table_rows(s.params.field.features)
                 ),
             )
             new_states.append(s.replace(field_state=fs))
@@ -519,7 +519,7 @@ class Trainer:
             cams = _slice_cams(self.datas[i].cameras, n_real)
             s_real = _slice_state_cams(s, n_real)
             eff = field_lib.effective_backend(
-                self.tc.hash_backend, s.params.field.features.shape[1]
+                self.tc.hash_backend, field_lib.table_rows(s.params.field.features)
             )
             ckpt_lib.export_tile(
                 out_dir, s_real, cams, self.view_lists[i],

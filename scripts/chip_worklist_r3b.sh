@@ -16,11 +16,9 @@ run() {
 T=1800 run python scripts/probe_sampler.py
 # 1. T=32 scale bench: verifies the features_flat OOM fix (fresh compile)
 T=3600 run python scripts/bench_render.py 32 13 scale
-# 2. clean T=4 renderer numbers (fused vs unfused, post-CDF-revert)
-T=2400 run python scripts/bench_render.py 4
-# 3. clean training bench (post-CDF-revert state)
+# 2. clean training bench (post-CDF-revert state)
 T=2400 run python bench.py
-# 4. the city-block e2e: 8 tiles x 4000 steps x 96 cams, ADMM + full
+# 3. the city-block e2e: 8 tiles x 4000 steps x 96 cams, ADMM + full
 #    recipe, then the exported scene rendered at matched sample counts
-T=18000 run python scripts/city_run.py 4000
+T=14400 run python scripts/city_run.py 4000
 echo "WORKLIST_R3B DONE $(date -u)" >> "$LOG"
