@@ -335,11 +335,18 @@ def _render_rays_windowed(
     table_axis: str | None = None,
     table_shards: int = 1,
     bwd_onehot_bf16: bool = False,
+    fused_decoder: bool = False,
 ) -> dict[str, jax.Array]:
     """TPU sorted-stream render: fg+bg points are merged into ONE
     windowed hash-encode call (``ops/pallas/hash_encode.py``); the
     decoder runs in the padded-sorted stream and only its 10 output
     channels are restored to ray order. Same outputs as render_rays.
+
+    ``fused_decoder``: run the ShallowMLP inside the hash kernels
+    (ops/pallas/fused_train.py) — exact same math and gradients, no
+    [Np, 32] feats/d_feats round-trips or decoder dispatches. Single
+    table only (sharded streams psum FEATURES across devices, which a
+    post-decoder column psum cannot reproduce).
 
     ``table_axis``/``table_shards``: when set (and the call runs inside a
     shard_map over that mesh axis), ``params.features`` is the LOCAL
@@ -410,25 +417,35 @@ def _render_rays_windowed(
             params.features, state.resolutions, bwd_onehot_bf16,
         )
         feats_s = psum_one_owner(feats_s, table_axis)
+    elif fused_decoder:
+        from scanerf_tpu.ops.pallas import fused_train as ft
+
+        slab = ft.pack_train_slab(params.decoder, weight_feature(step))
+        cols = ft.hash_decode_train(
+            stream.pts, stream.meta, stream.visited,
+            params.features, state.resolutions, slab, bwd_onehot_bf16,
+        )  # [Np, 8] — same 8 columns as the unfused branch below
     else:
         feats_s = hw.hash_lookup_sorted(
             stream.pts, stream.meta, stream.visited,
             params.features, state.resolutions, bwd_onehot_bf16,
         )  # [Np, 32]
-    Np = feats_s.shape[0]
-    dirs_s = stream.pts[:, 4:7, :].transpose(0, 2, 1).reshape(Np, 3)
-    wf = jnp.repeat(weight_feature(step), 2, axis=-1)
-    dec = decoder_lib.apply_decoder(params.decoder, feats_s, dirs_s, wf)
-    # only 8 columns leave the sorted stream (sorts charge per payload):
-    # tint*specular is premultiplied (accumulate is linear, so the
-    # composite is unchanged) and the specular-L2's channel mean rides
-    # ONE column (mean over channels commutes with accumulate); the raw
-    # tint accumulation has no downstream consumer
-    spec2 = jnp.mean(dec["specular"] ** 2, axis=-1, keepdims=True)
-    cols = jnp.concatenate(
-        [dec["sigma"], dec["diffuse"], dec["tint"] * dec["specular"],
-         spec2], axis=-1
-    )  # [Np, 8]
+    if table_shards > 1 or not fused_decoder:
+        Np = feats_s.shape[0]
+        dirs_s = stream.pts[:, 4:7, :].transpose(0, 2, 1).reshape(Np, 3)
+        wf = jnp.repeat(weight_feature(step), 2, axis=-1)
+        dec = decoder_lib.apply_decoder(params.decoder, feats_s, dirs_s, wf)
+        # only 8 columns leave the sorted stream (sorts charge per
+        # payload): tint*specular is premultiplied (accumulate is linear,
+        # so the composite is unchanged) and the specular-L2's channel
+        # mean rides ONE column (mean over channels commutes with
+        # accumulate); the raw tint accumulation has no downstream
+        # consumer
+        spec2 = jnp.mean(dec["specular"] ** 2, axis=-1, keepdims=True)
+        cols = jnp.concatenate(
+            [dec["sigma"], dec["diffuse"], dec["tint"] * dec["specular"],
+             spec2], axis=-1
+        )  # [Np, 8]
     rows = hw.unsort_rows(cols, stream.pidp, stream.inv_full, x.shape[0])
 
     def as_parts(part, S):
@@ -528,6 +545,7 @@ def render_rays(
     table_axis: str | None = None,
     table_shards: int = 1,
     bwd_onehot_bf16: bool = False,
+    fused_decoder: bool = False,
 ) -> dict[str, jax.Array]:
     """fg + bg composite (``tile.py:639-692``). ``bg_z`` supplies
     precomputed BS-mode background samples (z, dists, valid).
@@ -545,7 +563,7 @@ def render_rays(
             params, state, rays_o, rays_d, num_fg_sample, num_bg_sample,
             step, occlusion_mask, train, invalid_underground, num_march,
             bg_z, table_axis=table_axis, table_shards=table_shards,
-            bwd_onehot_bf16=bwd_onehot_bf16,
+            bwd_onehot_bf16=bwd_onehot_bf16, fused_decoder=fused_decoder,
         )
     assert table_shards == 1, (
         "table parallelism requires the windowed backend")

@@ -278,7 +278,7 @@ def _fused_kernel(res_ref, meta_ref, pts_ref, feat_hbm, dp_hbm,
 def hash_decode_fused(
     stream: SortedStream,
     chunk_tids: jax.Array,  # [NC] int32 tile id per chunk
-    features: jax.Array,  # [L, T*H, F] concatenated multi-table stack
+    features: jax.Array,  # [L, T*H, F] or flat [L, T*H*F] table stack
     resolutions: jax.Array,  # [L, 3]
     dec_slabs: jax.Array,  # [T, PROWS, 128] from pack_decoder_slabs
 ) -> jax.Array:
@@ -287,7 +287,7 @@ def hash_decode_fused(
     Forward-only. Output rows for pad points are garbage (their pids
     point past N and are dropped by unsort_rows).
     """
-    L, Htot, F = features.shape
+    L = features.shape[0]
     NC = stream.pts.shape[0]
     assert features.dtype in (jnp.float32, jnp.bfloat16), features.dtype
     feat_t = _features_tiled(features)

@@ -93,7 +93,7 @@ class MultiTileScene:
     # full-table copy per chunk, and XLA's T(2,128) layout for the
     # trailing F=2 dim pads it 8x (measured: 16 GB for 2 GB of tables at
     # T=32, an instant OOM). None falls back to the in-graph transpose.
-    features_flat: jax.Array | None = None  # [L, T*H, F]
+    features_flat: jax.Array | None = None  # flat [L, T*H*F] (no pad layout)
 
 
 def _union_occupancy(exports: list[dict]) -> np.ndarray:
@@ -176,11 +176,16 @@ def build_union_grid(
 
 
 def flatten_tables(features: np.ndarray) -> np.ndarray:
-    """[T, L, H, F] -> [L, T*H, F] tile-major per level, host-side."""
+    """[T, L, H, F] -> FLAT [L, T*H*F] tile-major per level, host-side.
+
+    Flat 2D, not [L, T*H, F]: any trailing F=2 array materialized by XLA
+    gets a T(2,128) layout with 8x padding — at T=32 that was a 16 GB
+    copy of 2 GB of tables (the round-3 T=32 bench OOM). The kernels'
+    _features_tiled accepts the flat form directly."""
     T, L, H, F = features.shape
     return np.ascontiguousarray(
         np.transpose(np.asarray(features), (1, 0, 2, 3))
-    ).reshape(L, T * H, F)
+    ).reshape(L, T * H * F)
 
 
 def load_scene(tile_dirs: list[str], dtype=jnp.float32) -> MultiTileScene:
@@ -638,7 +643,7 @@ def _decode_stream(scene, stream, chunk_tile, feat_flat, res0, fuse):
 
     NC = stream.pts.shape[0]
     L = feat_flat.shape[0]
-    F = feat_flat.shape[2]
+    F = 2  # kernel-wide constant (interleaved feature lanes)
     feats_s = hw.hash_lookup_sorted(
         stream.pts, stream.meta, stream.visited, feat_flat, res0
     )  # [Np, L*F]
@@ -722,7 +727,9 @@ def _render_windowed(
     if scene.features_flat is not None:
         feat_flat = scene.features_flat  # precomputed at load (no copy)
     else:
-        feat_flat = scene.features.transpose(1, 0, 2, 3).reshape(L, T * H, F)
+        feat_flat = scene.features.transpose(1, 0, 2, 3).reshape(
+            L, T * H * F
+        )
     res0 = scene.resolutions[0]
 
     # per-chunk decoder: each CHUNK lies inside one tile's table range

@@ -112,6 +112,10 @@ class TrainConfig:
     # backend; ops/pallas/hash_encode._bwd_kernel) — only the per-point
     # weighted-gradient operand rounds (2^-8 relative)
     hash_bwd_bf16: bool = False
+    # run the ShallowMLP inside the windowed hash kernels (exact fwd+bwd,
+    # ops/pallas/fused_train.py); ignored off the windowed backend and
+    # under table sharding (sharded streams psum FEATURES)
+    fused_decoder: bool = True
 
     @classmethod
     def from_cfg(cls, cfg) -> "TrainConfig":
@@ -146,6 +150,7 @@ class TrainConfig:
             hash_backend=T.get("HASH_BACKEND", "windowed"),
             table_shards=T.get("TABLE_SHARDS", 1),
             hash_bwd_bf16=T.get("HASH_BWD_BF16", False),
+            fused_decoder=T.get("FUSED_DECODER", True),
             stochastic_hash_grad=T.get("STOCHASTIC_HASH_GRAD", False),
             warp_vis_sample=L.get("WARP_VIS_SAMPLE", 32),
             warp_vis_bg_sample=L.get("WARP_VIS_BG_SAMPLE", 32),
@@ -330,6 +335,7 @@ def compute_losses(
         table_axis="table" if tc.table_shards > 1 else None,
         table_shards=tc.table_shards,
         bwd_onehot_bf16=tc.hash_bwd_bf16,
+        fused_decoder=tc.fused_decoder,
     )
     valid = out["fore_valid"] | out["bg_valid"]
 
@@ -429,6 +435,7 @@ def _warp_loss(params, field_state, data, out, gt_color, valid, stepf, tc):
         backend=tc.hash_backend,
         table_axis="table" if tc.table_shards > 1 else None,
         table_shards=tc.table_shards,
+        fused_decoder=tc.fused_decoder,
     )
     # voxel size = max(tile_size / finest hash resolution) (warp_loss.py:150)
     voxel = jnp.max(
@@ -532,6 +539,7 @@ def render_chunk(params, field_state, rays_o, rays_d, step, tc: TrainConfig):
         train=False, invalid_underground=tc.invalid_underground,
         num_march=tc.num_march,
         backend=tc.hash_backend,
+        fused_decoder=tc.fused_decoder,
     )
 
 
