@@ -83,6 +83,12 @@ DEFAULTS: dict[str, Any] = {
     "SYN_START": 0,
     "MAX_POSES": 400,
     "UPDATE_MASK_STEP": 10000,
+    # resume directory (reference tile.py:37-45: glob cfg.CKP for
+    # checkpoint-*-{tile}); "" = look in DATADIR
+    "CKP": "",
+    # mid-run checkpoint cadence in steps; 0 = final export only
+    # (matches the reference, which only saves at export tile.py:568)
+    "CKPT_STEP": 0,
     "INVALID_UNDERGROUND": False,
     "TILES": [0],
     "GPU": [0],

@@ -59,6 +59,10 @@ def load_checkpoint(path: str, template: TrainState) -> TrainState:
             # layout migration: hash tables were [L, H, F] before the
             # flat [L, H*F] canonical form (hash_encode.as_3d)
             arr = arr.reshape(tmpl.shape)
+        # when sizes genuinely differ (e.g. the occupancy grid was
+        # re-split by a pruning event after the template was built), the
+        # STORED shape wins: the trainer rebuilds its jitted round fn
+        # from the loaded state, so downstream shapes follow the data
         leaves.append(jnp.asarray(arr, dtype=tmpl.dtype))
     return jax.tree_util.tree_unflatten(treedef, leaves)
 

@@ -18,6 +18,7 @@ Host-side duties per round boundary (matching ``tile.py``):
 from __future__ import annotations
 
 import dataclasses
+import glob
 import os
 import time
 from datetime import datetime
@@ -64,10 +65,16 @@ class Trainer:
         self.datadir = cfg.DATADIR
         self.tile_idxs: list[int] = list(cfg.TILES)
 
-        runtime = datetime.now().strftime("%Y-%m-%d-%H-%M")
+        runtime = datetime.now().strftime("%Y-%m-%d-%H-%M-%S")
         prefix = f"{cfg.PREFIX}-{runtime}" if cfg.PREFIX else runtime
         self.logdir = os.path.join(self.datadir, "logs", prefix)
-        os.makedirs(self.logdir, exist_ok=True)
+        # two Trainers in the same second must not share a logdir (their
+        # training.log lines would interleave): suffix until unique
+        n = 0
+        while os.path.exists(self.logdir):
+            n += 1
+            self.logdir = os.path.join(self.datadir, "logs", f"{prefix}.{n}")
+        os.makedirs(self.logdir)
 
         # scene-level metadata
         self.ks_all, self.c2ws_all, self.H, self.W = data_io.read_campara(
@@ -218,8 +225,10 @@ class Trainer:
         data = _pad_data_cams(data, max_cams)
         state = tile_lib.create_train_state(params, fstate, max_cams, self.tc)
 
-        # resume from latest checkpoint if present
-        ckp = ckpt_lib.latest_checkpoint(self.datadir, tile_idx)
+        # resume: an explicit CKP directory (reference tile.py:37-45
+        # globs cfg.CKP for checkpoint-*-{tile}.pt), else the datadir
+        ckp_dir = str(self.cfg.get("CKP", "") or "") or self.datadir
+        ckp = ckpt_lib.latest_checkpoint(ckp_dir, tile_idx)
         if ckp:
             state = ckpt_lib.load_checkpoint(ckp, state)
             print(f"tile {tile_idx}: resumed from {ckp}")
@@ -319,8 +328,28 @@ class Trainer:
             if step % eval_step < syn and step > 0:
                 self._eval(tiles, step)
 
+            # periodic checkpoints so a killed long run resumes via CKP
+            # (the reference only checkpoints at export, tile.py:534-572;
+            # this fabric kills long jobs, so opt-in mid-run saves)
+            ckpt_step = int(cfg.get("CKPT_STEP", 0))
+            if ckpt_step > 0 and step % ckpt_step < syn and step < total:
+                self._save_round_checkpoints(tiles, step)
+
         self._export(tiles)
         return tiles
+
+    def _save_round_checkpoints(self, tiles, step: int):
+        """Write checkpoint-{step}-{tile}.npz for every real tile and
+        drop older periodic saves (one live generation per tile)."""
+        states = _unstack(tiles.state, len(self.tile_idxs))
+        for i, tile_idx in enumerate(self.tile_idxs):
+            path = ckpt_lib.checkpoint_path(self.logdir, step, tile_idx)
+            ckpt_lib.save_checkpoint(path, states[i])
+            for old in glob.glob(
+                os.path.join(self.logdir, f"checkpoint-*-{tile_idx}.npz")
+            ):
+                if old != path:
+                    os.remove(old)
 
     # ------------------------------------------------------------------
 

@@ -43,6 +43,10 @@ def main():
         "SYN_ITERS": 50,
         "MAX_POSES": 60,
         "EVAL_STEP": max(steps // 4, 200),
+        # survive fabric job kills: save every 500 steps, resume from a
+        # previous run's logdir via CITY_CKP=<logdir>
+        "CKPT_STEP": 500,
+        "CKP": os.environ.get("CITY_CKP", ""),
         "MAX_ROUND_STEPS": 100,
         "HASHGRID": {"LOG2_HASHMAP_SIZE": 19},
         "TRAINING": {

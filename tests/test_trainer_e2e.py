@@ -156,3 +156,49 @@ def test_trainer_table_sharded(tmp_path):
     assert len(tile_dirs) == 2
     d = np.load(os.path.join(tile_dirs[0], "feature.npz"))
     assert str(d.get("hash_layout", "global")) == "windowed"
+
+
+@pytest.mark.slow
+def test_trainer_midrun_checkpoint_resume(tmp_path):
+    """CKPT_STEP writes mid-run checkpoints; a fresh Trainer pointed at
+    them via CKP resumes from that step (reference tile.py:37-45 loads
+    cfg.CKP; mid-run saves are our fabric-robustness extension)."""
+    import shutil
+
+    datadir = str(tmp_path / "scene")
+    write_scene_dir(datadir, n_cameras=4, H=24, W=24, n_tiles=2)
+    cfg = tiny_cfg(datadir, total=6)
+    cfg.CKPT_STEP = 3
+
+    from scanerf_tpu.train.trainer import Trainer
+
+    t1 = Trainer(cfg)
+    t1.run()
+    # only the latest periodic generation is kept, pre-final == step 3,
+    # but export overwrote with checkpoint-6; simulate a killed run by
+    # copying the mid-run saves into a bare directory
+    ckp_dir = str(tmp_path / "ckp")
+    os.makedirs(ckp_dir)
+    mid = glob.glob(os.path.join(t1.logdir, "checkpoint-*-*.npz"))
+    assert mid, "no checkpoints written"
+    # keep the EARLIEST generation per tile (the mid-run one if present)
+    by_tile = {}
+    for f in mid:
+        step, tile = map(int, os.path.basename(f)[:-4].split("-")[1:3])
+        if tile not in by_tile or step < by_tile[tile][0]:
+            by_tile[tile] = (step, f)
+    resume_step = max(s for s, _ in by_tile.values())
+    assert resume_step < 6
+    for _, f in by_tile.values():
+        shutil.copy(f, ckp_dir)
+
+    cfg2 = tiny_cfg(datadir, total=6)
+    cfg2.CKP = ckp_dir
+    t2 = Trainer(cfg2)
+    assert int(t2.states[0].step) == resume_step
+    tiles = t2.run()
+    assert int(tiles.state.step[0]) == 6
+    log = open(os.path.join(t2.logdir, "training.log")).read()
+    # no round before the resume step was re-run
+    first_logged = int(log.split()[1])
+    assert first_logged > resume_step
