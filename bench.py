@@ -130,7 +130,46 @@ def measure(tc_kwargs, n_steps=10, fuse=False):
     return rays_per_step * n_steps / dt
 
 
+def _wait_for_backend(max_wait_s=1500, probe_timeout_s=180):
+    """The axon tunnel goes UNAVAILABLE for tens of minutes after an
+    abandoned server-side compile (PERF.md fabric notes). Probe backend
+    init in a SUBPROCESS (a wedged init can hang >20 min; the parent
+    must stay responsive) and only proceed once a trivial matmul works.
+    Returns True when the backend is up, False on timeout."""
+    import subprocess
+
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "x = jnp.ones((256, 256));"
+        "print(float((x @ x).sum()))"
+    )
+    deadline = time.monotonic() + max_wait_s
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code],
+                timeout=probe_timeout_s, capture_output=True,
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() >= deadline:
+            return False
+        print("bench: TPU backend unavailable, retrying...", file=sys.stderr)
+        time.sleep(60)
+
+
 def main():
+    if not _wait_for_backend():
+        print(json.dumps({
+            "metric": "training_rays_per_sec_full_recipe",
+            "value": 0.0,
+            "unit": "rays/s",
+            "vs_baseline": 0.0,
+            "error": "tpu_backend_unavailable",
+        }))
+        return
     rgb_only = measure(
         dict(w_warp=0.0, w_depth=0.0, w_smooth=0.0, rho=0.0)
     )
