@@ -96,6 +96,33 @@ def main():
     if os.path.exists(mpath):
         print(open(mpath).read(), flush=True)
 
+    # the number this script exists for: exported-scene renderer PSNR
+    # vs the final in-training eval PSNR (embedded in eval PNG names as
+    # eval-tile{t}-{step}-{psnr}-{ssim}.png)
+    import glob
+    import re
+
+    evals = {}
+    for f in glob.glob(os.path.join(trainer.logdir, "eval-tile*.png")):
+        m = re.match(r"eval-tile(\d+)-(\d+)-(-?[\d.]+)-(-?[\d.]+)\.png",
+                     os.path.basename(f))
+        if m:
+            t, s, psnr = int(m.group(1)), int(m.group(2)), float(m.group(3))
+            if t not in evals or s > evals[t][0]:
+                evals[t] = (s, psnr)
+    if evals and os.path.exists(mpath):
+        train_psnr = float(np.mean([p for _, p in evals.values()]))
+        last = [ln for ln in open(mpath).read().splitlines()
+                if ln.startswith("mean")]
+        if last:
+            render_psnr = float(last[-1].split()[2])
+            print(
+                f"QUALITY-GAP train-eval PSNR {train_psnr:.2f} vs "
+                f"standalone-render PSNR {render_psnr:.2f} "
+                f"(delta {render_psnr - train_psnr:+.2f} dB)",
+                flush=True,
+            )
+
 
 if __name__ == "__main__":
     main()
