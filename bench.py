@@ -170,24 +170,43 @@ def main():
             "error": "tpu_backend_unavailable",
         }))
         return
-    rgb_only = measure(
-        dict(w_warp=0.0, w_depth=0.0, w_smooth=0.0, rho=0.0)
-    )
+    # the fused hash+MLP training kernels are the default; if their
+    # compile fails on this fabric (Mosaic rejections only surface on
+    # real-chip compiles), fall back to the unfused windowed path so the
+    # round still records an honest number
+    fused = True
+    try:
+        rgb_only = measure(
+            dict(w_warp=0.0, w_depth=0.0, w_smooth=0.0, rho=0.0)
+        )
+    except Exception:
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        print("bench: fused decoder failed, retrying unfused",
+              file=sys.stderr)
+        fused = False
+        rgb_only = measure(
+            dict(w_warp=0.0, w_depth=0.0, w_smooth=0.0, rho=0.0,
+                 fused_decoder=False)
+        )
     # reference config/default.yaml LOSS block + RHO. The attached
     # fabric occasionally wedges mid-session (PERF.md); if the second,
     # larger compile dies, still report the rgb-only measurement so the
     # run records SOMETHING comparable.
     try:
-        full = measure(
-            dict(w_warp=1.0, w_depth=0.01, w_smooth=0.001, rho=100.0,
-                 warp_start=0)
-        )
+        full_kwargs = dict(w_warp=1.0, w_depth=0.01, w_smooth=0.001,
+                           rho=100.0, warp_start=0)
+        if not fused:
+            full_kwargs["fused_decoder"] = False
+        full = measure(full_kwargs)
         out = {
             "metric": "training_rays_per_sec_full_recipe",
             "value": round(full, 1),
             "unit": "rays/s",
             "vs_baseline": round(full / 5e6, 4),
             "rgb_only_rays_per_sec": round(rgb_only, 1),
+            "fused_decoder": fused,
         }
     except Exception as e:  # pragma: no cover - fabric failure path
         import traceback
