@@ -96,8 +96,15 @@ def main():
             scene, rays_o, rays_d, num_sample=128, num_bg_sample=128,
             num_march=512, **mkw,
         )
-        r = fn()
-        _ = float(jnp.sum(r["rgb"]))  # force completion (axon)
+        try:
+            r = fn()
+            _ = float(jnp.sum(r["rgb"]))  # force completion (axon)
+        except Exception as e:  # keep measuring the other modes
+            import traceback
+
+            traceback.print_exc()
+            out[name] = {"error": type(e).__name__}
+            continue
         t0 = time.perf_counter()
         reps = 3
         for _i in range(reps):
