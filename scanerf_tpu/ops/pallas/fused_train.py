@@ -151,10 +151,9 @@ def _ft_fwd_kernel(res_ref, meta_ref, pts_ref, feat_hbm, pslab_ref,
             feat_hbm.at[:, pl.ds(boc * BLOCK_SUB, BLOCK_SUB), :], slab, sem)
         dma.start()
         dma.wait()
-        _relayout_slab(
-            slab, slab_d, L,
-            lambda w: _deinterleave_window(w.astype(jnp.float32)),
-        )
+        # slab is declared f32 (the training kernel rejects bf16
+        # tables), so no widening cast — unlike fused_render's slab
+        _relayout_slab(slab, slab_d, L, _deinterleave_window)
 
     wmins = [meta_ref[0, t, 1] for t in range(SUBT)]
     spans = [meta_ref[0, t, 2] for t in range(SUBT)]

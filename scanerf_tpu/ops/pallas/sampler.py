@@ -84,7 +84,7 @@ def _shift_r(x: jax.Array, k: int) -> jax.Array:
     return jnp.concatenate([pad, x[:, :-k]], axis=1)
 
 
-def _make_kernel(S: int, M: int, G: int, res, n_lut_rows: int):
+def _make_kernel(S: int, M: int, G: int, res):
     rx, ry, rz = (int(r) for r in res)
     wz = -(-rz // 32)
 
@@ -128,10 +128,10 @@ def _make_kernel(S: int, M: int, G: int, res, n_lut_rows: int):
             srow = (w >> 7) & 7
             lane = w & 127
             word = jnp.zeros((8, 128), jnp.uint32)
+            # pack_grid always emits G*8 LUT rows, so every (gg, ss)
+            # pair is in range
             for gg in range(G):
                 for ss in range(8):
-                    if gg * 8 + ss >= n_lut_rows:
-                        break
                     row = lut_ref[pl.ds(gg * 8 + ss, 1), :]
                     vals = jnp.take_along_axis(
                         jnp.broadcast_to(row, (8, 128)), lane, axis=1
@@ -236,7 +236,7 @@ def sample_fused(
             jnp.zeros((2,), jnp.float32),
         ]
     )
-    kernel = _make_kernel(S, M, G, grid.shape, lut.shape[0])
+    kernel = _make_kernel(S, M, G, grid.shape)
     z, tot = pl.pallas_call(
         kernel,
         grid=(npad // B,),
