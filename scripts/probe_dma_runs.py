@@ -1,0 +1,98 @@
+"""Probe: many-small-descriptor DMA throughput (HBM -> VMEM).
+
+Decides the round-4 run-length-sort question (PERF.md "Round-3c
+sort-tax analysis"): expanding ~100K sorted runs back into a packed
+4.2M-point stream needs ~25 contiguous-block DMAs per 1024-row chunk.
+If issuing K row-range descriptors per chunk costs much more than one
+big one, the redesign loses to the ~60 ms bitonic sorts it replaces.
+
+Measures, for K in {1, 8, 32}: a kernel whose grid is NC=4096 chunks,
+each DMA-ing K contiguous [1024/K, 16]-row f32 slices from random
+offsets of a [4.2M, 16] HBM source into VMEM, then writing their sum
+(forces the data). Reports ms per variant and the per-descriptor
+overhead implied by the K=32 vs K=1 delta.
+
+Run on the real chip: python scripts/probe_dma_runs.py
+"""
+
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+CHUNK = 1024
+D = 16
+
+
+def _kernel(off_ref, src_hbm, out_ref, scratch, sem, *, K):
+    rows = CHUNK // K
+    acc = jnp.zeros((1, D), jnp.float32)
+    for k in range(K):
+        start = off_ref[0, k]
+        dma = pltpu.make_async_copy(
+            src_hbm.at[pl.ds(start, rows), :],
+            scratch.at[pl.ds(k * rows, rows), :],
+            sem,
+        )
+        dma.start()
+        dma.wait()
+    acc = jnp.sum(scratch[...], axis=0, keepdims=True)
+    out_ref[0:1, :] = acc
+
+
+def build(K, NC, N):
+    rng = np.random.RandomState(K)
+    rows = CHUNK // K
+    offs = rng.randint(0, N - rows, size=(NC, K)).astype(np.int32)
+
+    f = pl.pallas_call(
+        functools.partial(_kernel, K=K),
+        grid=(NC,),
+        in_specs=[
+            pl.BlockSpec((1, K), lambda c: (c, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, D), lambda c: (c, 0)),
+        out_shape=jax.ShapeDtypeStruct((NC, D), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((CHUNK, D), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=jax.default_backend() == "cpu",
+    )
+    return f, jnp.asarray(offs)
+
+
+def main():
+    N = 2**22
+    NC = 4096
+    src = jax.random.normal(jax.random.PRNGKey(0), (N, D), jnp.float32)
+    results = {}
+    for K in (1, 8, 32):
+        f, offs = build(K, NC, N)
+        run = jax.jit(lambda o, s, f=f: f(o, s))
+        out = run(offs, src)
+        _ = float(jnp.ravel(out)[0])
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            out = run(offs, src)
+            _ = float(jnp.ravel(out)[0])
+            ts.append(time.perf_counter() - t0)
+        dt = float(np.median(ts))
+        results[K] = dt
+        print(f"K={K:3d} descriptors/chunk: {dt*1e3:7.1f} ms "
+              f"({NC*K/dt/1e6:.2f}M descriptors/s)", flush=True)
+    if 1 in results and 32 in results:
+        per_desc = (results[32] - results[1]) / (NC * (32 - 1))
+        print(f"per-descriptor overhead ~{per_desc*1e9:.0f} ns -> "
+              f"100K-run expansion ~{per_desc*1e5*1e3:.0f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()
