@@ -63,6 +63,8 @@ from scanerf_tpu.ops.pallas.hash_encode import (
     WB,
     WIN_SUB,
     SortedStream,
+    _corner_accum,
+    _corner_bwd_accum,
     _corner_setup,
     _deinterleave_window,
     _features_tiled,
@@ -173,19 +175,11 @@ def _ft_fwd_kernel(res_ref, meta_ref, pts_ref, feat_hbm, pslab_ref,
 
             def k_body(k, carry, slot=slot, w8=w8, widf_t=widf_t,
                        wmin_t=wmin_t, l=l):
-                s0, s1 = carry
                 w = wmin_t + k
                 wl = w - wbase - boc * WB
                 win_d = slab_d[l, pl.ds(wl * WIN_SUB, WIN_SUB), :]
                 mt = (widf_t == w.astype(jnp.float32)).astype(jnp.float32)
-                for cc in range(8):
-                    lane = slot[cc:cc + 1, :] & 127
-                    sub = slot[cc:cc + 1, :] >> 7
-                    wmc = w8[cc:cc + 1, :] * mt
-                    f0, f1 = _win_gather2(win_d, lane, sub)
-                    s0 = s0 + wmc * f0
-                    s1 = s1 + wmc * f1
-                return s0, s1
+                return _corner_accum(win_d, slot, w8, mt, carry)
 
             zero = jnp.zeros((1, 128), jnp.float32)
             s0, s1 = jax.lax.fori_loop(0, span_t, k_body, (zero, zero))
@@ -280,46 +274,15 @@ def _ft_bwd_kernel(res_ref, meta_ref, pts_ref, feats_ref, g_ref, feat_hbm,
 
             def k_body(k, carry, slot=slot, w8=w8, aux=aux, widf_t=widf_t,
                        g0t=g0t, g1t=g1t, wmin_t=wmin_t):
-                du0, du1, du2 = carry
-                wx, wy, wz, sx, sy, sz, rx, ry, rz = aux
                 w = wmin_t + k
                 wl = w - wbase - boc * WB
                 win_d = slab_d[l, pl.ds(wl * WIN_SUB, WIN_SUB), :]
                 mt = (widf_t == w.astype(jnp.float32)).astype(jnp.float32)
-                dwin = jnp.zeros((8, 128), jnp.float32)
-                adt = jnp.bfloat16 if onehot_bf16 else jnp.float32
-                for cc in range(8):
-                    lane = slot[cc:cc + 1, :] & 127
-                    sub = slot[cc:cc + 1, :] >> 7
-                    wmc = w8[cc:cc + 1, :] * mt
-                    subm0 = iota8 == jnp.broadcast_to(sub, (8, 128))
-                    subm1 = iota8 == jnp.broadcast_to(sub + 4, (8, 128))
-                    ohl = jnp.where(
-                        iota128 == jnp.broadcast_to(lane, (128, 128)),
-                        1.0, 0.0).astype(adt)
-                    a = (
-                        jnp.where(subm0,
-                                  jnp.broadcast_to(wmc * g0t, (8, 128)), 0.0)
-                        + jnp.where(subm1,
-                                    jnp.broadcast_to(wmc * g1t, (8, 128)),
-                                    0.0)
-                    ).astype(adt)
-                    dwin = dwin + jax.lax.dot_general(
-                        a, ohl, dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                    f0, f1 = _win_gather2(win_d, lane, sub)
-                    gd = (f0 * g0t + f1 * g1t) * mt
-                    du0 = du0 + gd * (
-                        sx[cc:cc + 1, :] * wy[cc:cc + 1, :]
-                        * wz[cc:cc + 1, :]) * (rx - 1.0)
-                    du1 = du1 + gd * (
-                        wx[cc:cc + 1, :] * sy[cc:cc + 1, :]
-                        * wz[cc:cc + 1, :]) * (ry - 1.0)
-                    du2 = du2 + gd * (
-                        wx[cc:cc + 1, :] * wy[cc:cc + 1, :]
-                        * sz[cc:cc + 1, :]) * (rz - 1.0)
+                dwin, carry = _corner_bwd_accum(
+                    win_d, slot, w8, aux, mt, g0t, g1t, iota8, iota128,
+                    onehot_bf16, carry)
                 daccs[l, pl.ds(wl * WIN_SUB, WIN_SUB), :] += dwin
-                return du0, du1, du2
+                return carry
 
             zero = jnp.zeros((1, 128), jnp.float32)
             du0, du1, du2 = jax.lax.fori_loop(

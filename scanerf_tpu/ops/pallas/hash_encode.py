@@ -612,6 +612,77 @@ def _win_gather2(win_d, lane, sub):
     return f0, f1
 
 
+def _corner_accum(win_d, slot, w8, mt, carry):
+    """One window's 8-corner gather-accumulate of (f0, f1) into the
+    (s0, s1) carry. Shared by ``_fwd_kernel`` here and the fused
+    training forward (ops/pallas/fused_train.py) — any change to the
+    corner gather must stay identical in both kernel families."""
+    s0, s1 = carry
+    for cc in range(8):
+        lane = slot[cc:cc + 1, :] & 127
+        sub = slot[cc:cc + 1, :] >> 7
+        wmc = w8[cc:cc + 1, :] * mt
+        f0, f1 = _win_gather2(win_d, lane, sub)
+        s0 = s0 + wmc * f0
+        s1 = s1 + wmc * f1
+    return s0, s1
+
+
+def _corner_bwd_accum(win_d, slot, w8, aux, mt, g0t, g1t, iota8, iota128,
+                      onehot_bf16, carry):
+    """One window's 8-corner backward: the one-hot dot_general table
+    scatter (accumulated into the returned ``dwin``) plus the regather
+    for dL/dpoints (accumulated into the (du0, du1, du2) carry). Shared
+    by ``_bwd_kernel`` here and the fused training backward
+    (ops/pallas/fused_train.py).
+
+    ``onehot_bf16``: build the scatter's one-hot matrix and per-point
+    weighted-gradient operand in bf16 (accumulation stays f32 via the
+    dot's preferred_element_type). The one-hot is built in f32 and CAST
+    (Mosaic cannot relayout an i1 mask straight into bf16 packing); it
+    is exact in bf16 (0/1) — only the ``a`` operand rounds (2^-8
+    relative). The one-hot CONSTRUCTION dominates the backward's VPU
+    work; bf16 halves its vreg count and doubles the MXU rate."""
+    du0, du1, du2 = carry
+    wx, wy, wz, sx, sy, sz, rx, ry, rz = aux
+    dwin = jnp.zeros((8, 128), jnp.float32)
+    adt = jnp.bfloat16 if onehot_bf16 else jnp.float32
+    for cc in range(8):
+        lane = slot[cc:cc + 1, :] & 127
+        sub = slot[cc:cc + 1, :] >> 7
+        wmc = w8[cc:cc + 1, :] * mt
+        # de-interleaved scatter: f0 targets sublanes 0-3, f1 sublanes
+        # 4-7, SAME lane -> one one-hot dot
+        subm0 = iota8 == jnp.broadcast_to(sub, (8, 128))
+        subm1 = iota8 == jnp.broadcast_to(sub + 4, (8, 128))
+        ohl = jnp.where(
+            iota128 == jnp.broadcast_to(lane, (128, 128)),
+            1.0, 0.0).astype(adt)
+        a = (
+            jnp.where(subm0,
+                      jnp.broadcast_to(wmc * g0t, (8, 128)), 0.0)
+            + jnp.where(subm1,
+                        jnp.broadcast_to(wmc * g1t, (8, 128)),
+                        0.0)
+        ).astype(adt)
+        dwin = dwin + jax.lax.dot_general(
+            a, ohl, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        # regather for dL/dpoints
+        f0, f1 = _win_gather2(win_d, lane, sub)
+        gd = (f0 * g0t + f1 * g1t) * mt  # (1,128)
+        du0 = du0 + gd * (
+            sx[cc:cc + 1, :] * wy[cc:cc + 1, :]
+            * wz[cc:cc + 1, :]) * (rx - 1.0)
+        du1 = du1 + gd * (
+            wx[cc:cc + 1, :] * sy[cc:cc + 1, :]
+            * wz[cc:cc + 1, :]) * (ry - 1.0)
+        du2 = du2 + gd * (
+            wx[cc:cc + 1, :] * wy[cc:cc + 1, :]
+            * sz[cc:cc + 1, :]) * (rz - 1.0)
+    return dwin, (du0, du1, du2)
+
+
 def _fwd_kernel(res_ref, meta_ref, pts_ref, feat_hbm, out_ref,
                 slab, slab_d, prev, sem):
     c = pl.program_id(0)
@@ -653,19 +724,11 @@ def _fwd_kernel(res_ref, meta_ref, pts_ref, feat_hbm, out_ref,
 
             def k_body(k, carry, slot=slot, w8=w8, widf_t=widf_t,
                        wmin_t=wmin_t):
-                s0, s1 = carry
                 w = wmin_t + k
                 wl = w - wbase - boc * WB
                 win_d = slab_d[l, pl.ds(wl * WIN_SUB, WIN_SUB), :]  # (8,128)
                 mt = (widf_t == w.astype(jnp.float32)).astype(jnp.float32)
-                for cc in range(8):
-                    lane = slot[cc:cc + 1, :] & 127
-                    sub = slot[cc:cc + 1, :] >> 7
-                    wmc = w8[cc:cc + 1, :] * mt
-                    f0, f1 = _win_gather2(win_d, lane, sub)
-                    s0 = s0 + wmc * f0
-                    s1 = s1 + wmc * f1
-                return s0, s1
+                return _corner_accum(win_d, slot, w8, mt, carry)
 
             zero = jnp.zeros((1, 128), jnp.float32)
             s0, s1 = jax.lax.fori_loop(0, span_t, k_body, (zero, zero))
@@ -742,53 +805,15 @@ def _bwd_kernel(res_ref, meta_ref, pts_ref, g_ref, feat_hbm,
 
             def k_body(k, carry, slot=slot, w8=w8, aux=aux, widf_t=widf_t,
                        g0t=g0t, g1t=g1t, wmin_t=wmin_t):
-                du0, du1, du2 = carry
-                wx, wy, wz, sx, sy, sz, rx, ry, rz = aux
                 w = wmin_t + k
                 wl = w - wbase - boc * WB
                 win_d = slab_d[l, pl.ds(wl * WIN_SUB, WIN_SUB), :]
                 mt = (widf_t == w.astype(jnp.float32)).astype(jnp.float32)
-                dwin = jnp.zeros((8, 128), jnp.float32)
-                adt = jnp.bfloat16 if onehot_bf16 else jnp.float32
-                for cc in range(8):
-                    lane = slot[cc:cc + 1, :] & 127
-                    sub = slot[cc:cc + 1, :] >> 7
-                    wmc = w8[cc:cc + 1, :] * mt
-                    # de-interleaved scatter: f0 targets sublanes 0-3,
-                    # f1 sublanes 4-7, SAME lane -> one one-hot dot.
-                    # bf16 mode: build in f32 and CAST (Mosaic cannot
-                    # relayout an i1 mask straight into bf16 packing);
-                    # the dot still runs at the doubled bf16 MXU rate
-                    # with exact 0/1 one-hot entries and f32 accumulation
-                    subm0 = iota8 == jnp.broadcast_to(sub, (8, 128))
-                    subm1 = iota8 == jnp.broadcast_to(sub + 4, (8, 128))
-                    ohl = jnp.where(
-                        iota128 == jnp.broadcast_to(lane, (128, 128)),
-                        1.0, 0.0).astype(adt)
-                    a = (
-                        jnp.where(subm0,
-                                  jnp.broadcast_to(wmc * g0t, (8, 128)), 0.0)
-                        + jnp.where(subm1,
-                                    jnp.broadcast_to(wmc * g1t, (8, 128)),
-                                    0.0)
-                    ).astype(adt)
-                    dwin = dwin + jax.lax.dot_general(
-                        a, ohl, dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                    # regather for dL/dpoints
-                    f0, f1 = _win_gather2(win_d, lane, sub)
-                    gd = (f0 * g0t + f1 * g1t) * mt  # (1,128)
-                    du0 = du0 + gd * (
-                        sx[cc:cc + 1, :] * wy[cc:cc + 1, :]
-                        * wz[cc:cc + 1, :]) * (rx - 1.0)
-                    du1 = du1 + gd * (
-                        wx[cc:cc + 1, :] * sy[cc:cc + 1, :]
-                        * wz[cc:cc + 1, :]) * (ry - 1.0)
-                    du2 = du2 + gd * (
-                        wx[cc:cc + 1, :] * wy[cc:cc + 1, :]
-                        * sz[cc:cc + 1, :]) * (rz - 1.0)
+                dwin, carry = _corner_bwd_accum(
+                    win_d, slot, w8, aux, mt, g0t, g1t, iota8, iota128,
+                    onehot_bf16, carry)
                 daccs[l, pl.ds(wl * WIN_SUB, WIN_SUB), :] += dwin
-                return du0, du1, du2
+                return carry
 
             zero = jnp.zeros((1, 128), jnp.float32)
             du0, du1, du2 = jax.lax.fori_loop(
