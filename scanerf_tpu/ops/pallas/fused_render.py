@@ -40,6 +40,7 @@ from scanerf_tpu.ops.pallas.hash_encode import (
     W,
     WB,
     WIN_SUB,
+    _corner_accum,
     _corner_setup,
     _deinterleave_window,
     _features_tiled,
@@ -245,19 +246,11 @@ def _fused_kernel(res_ref, meta_ref, pts_ref, feat_hbm, dp_hbm,
 
             def k_body(k, carry, slot=slot, w8=w8, widf_t=widf_t,
                        wmin_t=wmin_t, l=l):
-                s0, s1 = carry
                 w = wmin_t + k
                 wl = w - wbase - boc * WB
                 win_d = slab_d[l, pl.ds(wl * WIN_SUB, WIN_SUB), :]
                 mt = (widf_t == w.astype(jnp.float32)).astype(jnp.float32)
-                for cc in range(8):
-                    lane = slot[cc:cc + 1, :] & 127
-                    sub = slot[cc:cc + 1, :] >> 7
-                    wmc = w8[cc:cc + 1, :] * mt
-                    f0, f1 = _win_gather2(win_d, lane, sub)
-                    s0 = s0 + wmc * f0
-                    s1 = s1 + wmc * f1
-                return s0, s1
+                return _corner_accum(win_d, slot, w8, mt, carry)
 
             zero = jnp.zeros((1, 128), jnp.float32)
             s0, s1 = jax.lax.fori_loop(0, span_t, k_body, (zero, zero))
