@@ -962,6 +962,14 @@ def render_image(
             out = render_rays_sharded(scene, ro, rd, mesh, **kwargs)
         else:
             out = render_rays(scene, ro, rd, **kwargs)
-        outs["rgb"].append(np.asarray(out["rgb"]))
-        outs["depth"].append(np.asarray(out["depth"]))
-    return {k: np.concatenate(v)[:n].reshape(H, W, -1) for k, v in outs.items()}
+        # keep results ON DEVICE: jax dispatch is async, so appending
+        # the device arrays lets chunk i+1 launch while i computes; a
+        # per-chunk np.asarray would serialize a host round-trip into
+        # every chunk (chunks/frame x tunnel latency of dead time). A
+        # 1080p frame's outputs are ~33 MB — HBM-trivial.
+        outs["rgb"].append(out["rgb"])
+        outs["depth"].append(out["depth"])
+    return {
+        k: np.asarray(jnp.concatenate(v))[:n].reshape(H, W, -1)
+        for k, v in outs.items()
+    }
