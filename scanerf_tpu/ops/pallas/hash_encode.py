@@ -49,6 +49,7 @@ operation on TPU, not the lookup itself.
 from __future__ import annotations
 
 import functools
+import os
 
 import flax.struct
 import jax
@@ -60,6 +61,30 @@ from jax.experimental.pallas import tpu as pltpu
 from scanerf_tpu.ops import hash_encode as he
 
 PRIMES = (1, 2654435761, 805459861)
+
+# How permutations are applied to the stream. "sort": every reorder is a
+# lax.sort (4 per train step; safe everywhere — sorts were measured
+# faster than XLA row scatter on the round-2 fabric). "gather": sort_pack
+# computes the inverse permutation once (elementwise padded positions +
+# ONE cheap 2-operand sort) and the other three reorders (unsort fwd,
+# unsort bwd, sort_pack bwd) become plain row gathers — 2 sorts + 3
+# gathers per step instead of 4 payload-carrying sorts. Outputs are
+# bitwise identical (same permutation, different machinery); which is
+# faster is a per-fabric question (scripts/probe_sort_width.py measures
+# the gather rate). Static per trace: set before jit/first call.
+_PERMUTE_MODE = os.environ.get("SCANERF_PERMUTE_MODE", "sort")
+
+
+def set_permute_mode(mode: str) -> None:
+    """Select permutation machinery: "sort" (default) or "gather"."""
+    global _PERMUTE_MODE
+    if mode not in ("sort", "gather"):
+        raise ValueError(mode)
+    _PERMUTE_MODE = mode
+
+
+def permute_mode() -> str:
+    return _PERMUTE_MODE
 
 W = 512  # entries per window (one 8x128 f32 vreg of interleaved feats)
 WB = 32  # windows per block (slab unit)
@@ -190,7 +215,8 @@ class SortedStream:
     pts: jax.Array  # [NC, 8, CHUNK] f32: rows u0 u1 u2 widf d0 d1 d2 0
     meta: jax.Array  # [NC, 8, 4] i32: (boc, wmin, span, 0) per chunk
     pidp: jax.Array  # [Np] i32 original point index (N for pad rows)
-    inv_full: jax.Array  # [Np] i32 positions sorted by pidp
+    inv_full: jax.Array  # None ("sort" mode) | [N] i32 padded position
+    # of each original row ("gather" mode, computed by sort_pack)
     visited: jax.Array  # [NB] bool block has real points
 
 
@@ -372,15 +398,23 @@ def _sort_pack_impl(
          jnp.zeros_like(wmin_t)], axis=-1
     ).astype(jnp.int32)
 
-    # inv_full is no longer precomputed here: unsort_rows derives the
-    # inverse permutation INSIDE its forward sort as one extra payload
-    # (the base cost of a lax.sort dominates; a whole extra 2-operand
-    # sort for it was the single most wasteful op in the step). The
-    # field stays for pytree compatibility. ``need_inverse`` is kept for
-    # API stability and ignored.
+    # Permutation inverse. "sort" mode: not computed here — unsort_rows
+    # derives it INSIDE its forward sort as one extra payload (the base
+    # cost of a lax.sort dominates; a whole extra sort for it was the
+    # single most wasteful op in the step). "gather" mode: the padded
+    # position of sorted row j is elementwise from the block tables
+    # (padpos = S[b] + j - bounds[b]), so ONE cheap 2-operand sort by
+    # pid yields inv_full [N] in original-row order; every other
+    # reorder in the step then becomes a row gather. ``need_inverse``
+    # is kept for API stability and ignored.
     del need_inverse
+    inv_full = None
+    if _PERMUTE_MODE == "gather":
+        b_j = ws // WB  # block of sorted row j
+        padpos = S[b_j] - bounds[b_j] + jnp.arange(N, dtype=jnp.int32)
+        inv_full = jax.lax.sort((pids, padpos), num_keys=1)[1]
     return SortedStream(
-        pts=pts, meta=meta, pidp=pidp, inv_full=None, visited=pop > 0
+        pts=pts, meta=meta, pidp=pidp, inv_full=inv_full, visited=pop > 0
     )
 
 
@@ -397,14 +431,21 @@ def sort_pack(x: jax.Array, dirs: jax.Array, H: int) -> SortedStream:
 
 def _sp_fwd(x, dirs, H):
     out = _sort_pack_impl(x, dirs, H)
-    return out, (out.pidp, x.shape[0])
+    return out, (out.pidp, out.inv_full, x.shape[0])
 
 
 def _sp_bwd(H, res, g: SortedStream):
-    pidp, N = res
+    pidp, inv_full, N = res
     gp = g.pts  # [NC, 8, CHUNK] cotangent (float0 for int fields handled)
     Np = pidp.shape[0]
     cols = gp.transpose(1, 0, 2).reshape(8, Np)
+    if inv_full is not None and _PERMUTE_MODE == "gather":
+        # row i's cotangent sits at padded position inv_full[i]
+        picked = jnp.take(
+            jnp.stack([cols[0], cols[1], cols[2],
+                       cols[4], cols[5], cols[6]], axis=-1),
+            inv_full[:N], axis=0)  # [N, 6]
+        return picked[:, 0:3] * 0.25, picked[:, 3:6]
     out = jax.lax.sort(
         (pidp, cols[0], cols[1], cols[2], cols[4], cols[5], cols[6]),
         num_keys=1,
@@ -451,6 +492,8 @@ def unsort_rows(vals, pidp, inv_full, N: int):
     lax.sort (base cost dominates sorts on this fabric, PERF.md r3).
     """
     D = vals.shape[1]
+    if inv_full is not None and _PERMUTE_MODE == "gather":
+        return jnp.take(vals, inv_full[:N], axis=0)
     out = jax.lax.sort(
         (pidp,) + tuple(vals[:, i] for i in range(D)), num_keys=1)
     return jnp.stack(out[1:], axis=-1)[:N]
@@ -459,6 +502,14 @@ def unsort_rows(vals, pidp, inv_full, N: int):
 def _ur_fwd(vals, pidp, inv_full, N):
     D = vals.shape[1]
     Np = vals.shape[0]
+    if _PERMUTE_MODE == "gather":
+        if inv_full is None:
+            # callers on the gather path normally pass the inverse
+            # sort_pack computed; derive it here once if they didn't
+            inv_full = jax.lax.sort(
+                (pidp, jnp.arange(Np, dtype=jnp.int32)), num_keys=1)[1]
+        res = jnp.take(vals, inv_full[:N], axis=0)
+        return res, (None, pidp, vals.shape)
     if inv_full is None:
         # one sort produces the unsorted values AND the inverse
         # permutation (position payload)
@@ -471,12 +522,15 @@ def _ur_fwd(vals, pidp, inv_full, N):
         res = jnp.stack(out[2:], axis=-1)[:N]
     else:
         res = unsort_rows(vals, pidp, inv_full, N)
-    return res, (inv_full, vals.shape)
+    return res, (inv_full, None, vals.shape)
 
 
 def _ur_bwd(N, res, g):
-    inv_full, shape = res
+    inv_full, pidp, shape = res
     Np, D = shape
+    if pidp is not None:  # gather mode: pad rows carry pidp == N -> 0
+        gz = jnp.concatenate([g, jnp.zeros((1, D), g.dtype)], axis=0)
+        return jnp.take(gz, jnp.minimum(pidp, N), axis=0), None, None
     gz = jnp.concatenate([g, jnp.zeros((Np - N, D), g.dtype)], axis=0)
     out = jax.lax.sort(
         (inv_full,) + tuple(gz[:, i] for i in range(D)), num_keys=1)

@@ -150,3 +150,41 @@ def test_backward_bf16_onehot_bounded_error():
     assert err <= 0.02 * scale, (err, scale)
     # and it is not a broken/zero path
     assert np.abs(np.asarray(df_b)).max() > 0
+
+
+def test_permute_gather_mode_bitwise_parity():
+    # "gather" permutation machinery must reproduce the "sort" path
+    # BITWISE: identical permutation, different application (PERF.md
+    # round-3 sort-tax work — 2 sorts + 3 gathers vs 4 sorts).
+    key = jax.random.PRNGKey(6)
+    pts, feats, res = _make_inputs(key, 900, h=65536)
+    cluster = 0.01 * jax.random.normal(key, (300, 3)) + 1.3
+    pts = jnp.concatenate([pts[:600], cluster], axis=0)
+    tang = jax.random.normal(jax.random.PRNGKey(7), (900, L * 2))
+    dirs = jax.random.normal(jax.random.PRNGKey(8), (900, 3))
+
+    def run():
+        def loss(p, f):
+            return jnp.sum(hw.hash_encode_windowed(p, f, res) * tang)
+
+        val = hw.hash_encode_windowed(pts, feats, res)
+        dp, df = jax.grad(loss, argnums=(0, 1))(pts, feats)
+        # exercise unsort_rows/sort_pack directly too (dirs cotangent)
+        def loss2(p, d):
+            s = hw.sort_pack(p, d, 65536)
+            cols = s.pts[:, 0:4, :].transpose(0, 2, 1).reshape(-1, 4)
+            r = hw.unsort_rows(cols, s.pidp, s.inv_full, p.shape[0])
+            return jnp.sum(r * r)
+
+        v2, (dp2, dd2) = jax.value_and_grad(loss2, argnums=(0, 1))(pts, dirs)
+        return val, dp, df, v2, dp2, dd2
+
+    assert hw.permute_mode() == "sort"
+    ref = run()
+    hw.set_permute_mode("gather")
+    try:
+        got = run()
+    finally:
+        hw.set_permute_mode("sort")
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
