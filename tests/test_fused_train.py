@@ -153,3 +153,29 @@ def test_render_rays_fused_matches_unfused():
             np.asarray(ff[k]), np.asarray(vu), rtol=2e-4, atol=2e-5,
             err_msg=k,
         )
+
+
+def test_fused_gradients_bitwise_under_gather_mode():
+    # the gather permutation machinery (hash_encode.set_permute_mode)
+    # must leave the fused path's values AND gradients bitwise unchanged
+    args = _setup(seed=3)
+    x, dirs, feats, res, dec, wf = args
+    tang = jax.random.normal(jax.random.PRNGKey(9), (x.shape[0], 8))
+
+    def loss(x_, dirs_, feats_, dec_):
+        return jnp.sum(_fused_cols(x_, dirs_, feats_, res, dec_, wf) * tang)
+
+    def run():
+        v, g = jax.value_and_grad(loss, argnums=(0, 1, 2, 3))(
+            x, dirs, feats, dec)
+        return [v, *jax.tree_util.tree_leaves(g)]
+
+    assert hw.permute_mode() == "sort"
+    ref = run()
+    hw.set_permute_mode("gather")
+    try:
+        got = run()
+    finally:
+        hw.set_permute_mode("sort")
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
