@@ -76,15 +76,23 @@ _PERMUTE_MODE = os.environ.get("SCANERF_PERMUTE_MODE", "sort")
 
 
 def set_permute_mode(mode: str) -> None:
-    """Select permutation machinery: "sort" (default) or "gather"."""
+    """Select permutation machinery: "sort" (default), "gather", or
+    "gather_narrow" (gather + 2-operand main sort)."""
     global _PERMUTE_MODE
-    if mode not in ("sort", "gather"):
+    if mode not in ("sort", "gather", "gather_narrow"):
         raise ValueError(mode)
     _PERMUTE_MODE = mode
 
 
 def permute_mode() -> str:
     return _PERMUTE_MODE
+
+
+def _gather_mode() -> bool:
+    """Both gather variants share the inverse-permutation machinery;
+    "gather_narrow" additionally narrows the main sort to 2 operands
+    and gathers the payload columns."""
+    return _PERMUTE_MODE in ("gather", "gather_narrow")
 
 W = 512  # entries per window (one 8x128 f32 vreg of interleaved feats)
 WB = 32  # windows per block (slab unit)
@@ -305,11 +313,20 @@ def _sort_pack_impl(
         wid = wid + tids.astype(jnp.int32) * (NW // n_tables)
     pid = jnp.arange(N, dtype=jnp.int32)
 
-    ws, u0, u1, u2, d0, d1, d2, pids = jax.lax.sort(
-        (wid, u[:, 0], u[:, 1], u[:, 2],
-         dirs[:, 0], dirs[:, 1], dirs[:, 2], pid),
-        num_keys=1,
-    )
+    if _PERMUTE_MODE == "gather_narrow":
+        # 2-operand sort; the 6 payload columns ride a row gather
+        # instead (wins iff lax.sort cost scales with operand count
+        # AND gathers are cheap — scripts/probe_sort_width.py)
+        ws, pids = jax.lax.sort((wid, pid), num_keys=1)
+        pay = jnp.take(jnp.concatenate([u, dirs], axis=1), pids, axis=0)
+        u0, u1, u2 = pay[:, 0], pay[:, 1], pay[:, 2]
+        d0, d1, d2 = pay[:, 3], pay[:, 4], pay[:, 5]
+    else:
+        ws, u0, u1, u2, d0, d1, d2, pids = jax.lax.sort(
+            (wid, u[:, 0], u[:, 1], u[:, 2],
+             dirs[:, 0], dirs[:, 1], dirs[:, 2], pid),
+            num_keys=1,
+        )
 
     # block boundaries in the sorted stream -> aligned positions
     bounds = jnp.searchsorted(
@@ -409,7 +426,7 @@ def _sort_pack_impl(
     # is kept for API stability and ignored.
     del need_inverse
     inv_full = None
-    if _PERMUTE_MODE == "gather":
+    if _gather_mode():
         b_j = ws // WB  # block of sorted row j
         padpos = S[b_j] - bounds[b_j] + jnp.arange(N, dtype=jnp.int32)
         inv_full = jax.lax.sort((pids, padpos), num_keys=1)[1]
@@ -439,7 +456,7 @@ def _sp_bwd(H, res, g: SortedStream):
     gp = g.pts  # [NC, 8, CHUNK] cotangent (float0 for int fields handled)
     Np = pidp.shape[0]
     cols = gp.transpose(1, 0, 2).reshape(8, Np)
-    if inv_full is not None and _PERMUTE_MODE == "gather":
+    if inv_full is not None and _gather_mode():
         # row i's cotangent sits at padded position inv_full[i]
         picked = jnp.take(
             jnp.stack([cols[0], cols[1], cols[2],
@@ -492,7 +509,7 @@ def unsort_rows(vals, pidp, inv_full, N: int):
     lax.sort (base cost dominates sorts on this fabric, PERF.md r3).
     """
     D = vals.shape[1]
-    if inv_full is not None and _PERMUTE_MODE == "gather":
+    if inv_full is not None and _gather_mode():
         return jnp.take(vals, inv_full[:N], axis=0)
     out = jax.lax.sort(
         (pidp,) + tuple(vals[:, i] for i in range(D)), num_keys=1)
@@ -502,7 +519,7 @@ def unsort_rows(vals, pidp, inv_full, N: int):
 def _ur_fwd(vals, pidp, inv_full, N):
     D = vals.shape[1]
     Np = vals.shape[0]
-    if _PERMUTE_MODE == "gather":
+    if _gather_mode():
         if inv_full is None:
             # callers on the gather path normally pass the inverse
             # sort_pack computed; derive it here once if they didn't

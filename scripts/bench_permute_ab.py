@@ -55,7 +55,7 @@ def main():
     B = 2**base.batch_log2 // n_cameras // 4 * 4 * n_cameras
     tx = tile_lib.build_optimizer(base)
 
-    for i, mode in enumerate(("sort", "gather")):
+    for i, mode in enumerate(("sort", "gather", "gather_narrow")):
         hw.set_permute_mode(mode)
         # tc is a static jit arg: an EQUAL config would reuse the
         # previous mode's trace — bust the cache with a timing-neutral

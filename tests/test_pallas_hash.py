@@ -152,7 +152,8 @@ def test_backward_bf16_onehot_bounded_error():
     assert np.abs(np.asarray(df_b)).max() > 0
 
 
-def test_permute_gather_mode_bitwise_parity():
+@pytest.mark.parametrize("mode", ["gather", "gather_narrow"])
+def test_permute_gather_mode_bitwise_parity(mode):
     # "gather" permutation machinery must reproduce the "sort" path
     # BITWISE: identical permutation, different application (PERF.md
     # round-3 sort-tax work — 2 sorts + 3 gathers vs 4 sorts).
@@ -181,7 +182,7 @@ def test_permute_gather_mode_bitwise_parity():
 
     assert hw.permute_mode() == "sort"
     ref = run()
-    hw.set_permute_mode("gather")
+    hw.set_permute_mode(mode)
     try:
         got = run()
     finally:
