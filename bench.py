@@ -162,13 +162,21 @@ def _wait_for_backend(max_wait_s=1500, probe_timeout_s=180):
 
 def main():
     if not _wait_for_backend():
-        print(json.dumps({
+        out = {
             "metric": "training_rays_per_sec_full_recipe",
             "value": 0.0,
             "unit": "rays/s",
             "vs_baseline": 0.0,
             "error": "tpu_backend_unavailable",
-        }))
+        }
+        # informational only — the most recent real-chip measurement
+        # from this round's worklists (NOT a fresh number)
+        try:
+            with open("BENCH_CHIP_CACHE.json") as f:
+                out["last_chip_measurement"] = json.load(f)
+        except Exception:
+            pass
+        print(json.dumps(out))
         return
     # the fused hash+MLP training kernels are the default; if their
     # compile fails on this fabric (Mosaic rejections only surface on
@@ -219,6 +227,14 @@ def main():
             "vs_baseline": round(rgb_only / 5e6, 4),
             "full_recipe_error": type(e).__name__,
         }
+    try:
+        out_cache = dict(out)
+        out_cache["measured_at"] = time.strftime(
+            "%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        with open("BENCH_CHIP_CACHE.json", "w") as f:
+            json.dump(out_cache, f)
+    except Exception:
+        pass
     print(json.dumps(out))
 
 
