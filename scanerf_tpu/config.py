@@ -116,6 +116,10 @@ DEFAULTS: dict[str, Any] = {
         # global hash per the PERF.md quality A/B) or "xla" (global
         # prime-XOR hash via XLA gather, reference semantics oracle)
         "HASH_BACKEND": "windowed",
+        # sorted-stream permutation machinery: "sort" | "gather" |
+        # "gather_narrow" — bitwise-identical outputs; see PERF.md
+        # round-3d (per-fabric A/B via scripts/bench_permute_ab.py)
+        "PERMUTE_MODE": "sort",
         "ETA": {"HASH_FEATURE": 1e-3, "DECODER": 1e-3, "CAM": 1e-4},
         "CAMOPT": {"ENABLE": True, "NOISE": 0.0, "START_STEPS": 0},
         "LOSS": {

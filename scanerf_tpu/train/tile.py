@@ -116,6 +116,10 @@ class TrainConfig:
     # ops/pallas/fused_train.py); ignored off the windowed backend and
     # under table sharding (sharded streams psum FEATURES)
     fused_decoder: bool = True
+    # permutation machinery for the sorted stream: "sort" | "gather" |
+    # "gather_narrow" (hash_encode.set_permute_mode; bitwise-identical
+    # outputs, per-fabric winner). Applied process-wide at Trainer init.
+    permute_mode: str = "sort"
 
     @classmethod
     def from_cfg(cls, cfg) -> "TrainConfig":
@@ -151,6 +155,7 @@ class TrainConfig:
             table_shards=T.get("TABLE_SHARDS", 1),
             hash_bwd_bf16=T.get("HASH_BWD_BF16", False),
             fused_decoder=T.get("FUSED_DECODER", True),
+            permute_mode=T.get("PERMUTE_MODE", "sort"),
             stochastic_hash_grad=T.get("STOCHASTIC_HASH_GRAD", False),
             warp_vis_sample=L.get("WARP_VIS_SAMPLE", 32),
             warp_vis_bg_sample=L.get("WARP_VIS_BG_SAMPLE", 32),

@@ -62,6 +62,10 @@ class Trainer:
     def __init__(self, cfg, mesh_devices=None):
         self.cfg = cfg
         self.tc = TrainConfig.from_cfg(cfg)
+        if self.tc.permute_mode != "sort":
+            from scanerf_tpu.ops.pallas import hash_encode as _hw
+
+            _hw.set_permute_mode(self.tc.permute_mode)
         self.datadir = cfg.DATADIR
         self.tile_idxs: list[int] = list(cfg.TILES)
 
