@@ -228,7 +228,7 @@ def _with_lut(scene):
 def test_fg_slots_lut_matches_exhaustive():
     """The rasterized tile-LUT slot assignment (O(candidates)) must
     reproduce the per-tile exhaustive loop on every valid slot."""
-    for T in (2, 4, 8):
+    for T in (2, 4, 8, 32):
         scene = _with_lut(make_scene(T=T, seed=T))
         rng = np.random.RandomState(T)
         pts = jnp.asarray(
