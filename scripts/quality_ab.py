@@ -15,13 +15,47 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _run_arm(backend, over, base, data, eval_cams, images, hold,
+             n_cameras, H, W, steps):
+    from scanerf_tpu.models import field as field_lib
+    from scanerf_tpu.train import tile as tile_lib
+    from scanerf_tpu.utils.metrics import psnr
+
+    tc = dataclasses.replace(base, **over)
+    params, fstate = field_lib.create_field(
+        jax.random.PRNGKey(0),
+        bbox_corner=np.array([-1.0, -1.0, -1.0]),
+        bbox_size=np.array([2.0, 2.0, 2.0]),
+        log2_hashmap_size=16,
+        grid_resolution=(16, 512),
+        sampler_log2dim=5,
+    )
+    state = tile_lib.create_train_state(params, fstate, hold, tc)
+    tx = tile_lib.build_optimizer(tc)
+    key = jax.random.PRNGKey(1)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        key, sub = jax.random.split(key)
+        state, aux = tile_lib.train_step(state, data, sub, tc, tx)
+    loss = float(aux["total_loss"])
+    dt = time.perf_counter() - t0
+
+    eval_state = state.replace(
+        params=state.params.replace(
+            se3_refine=jnp.zeros((n_cameras, 6))
+        )
+    )
+    out = tile_lib.render_image(eval_state, eval_cams, hold, H, W, tc)
+    p = psnr(out["rgb"], images[hold])
+    print(f"{backend:10s}: eval PSNR {p:6.2f} dB  "
+          f"(train loss {loss:.5f}, {dt:.0f}s for {steps} steps)",
+          flush=True)
+
+
 def main():
     from scanerf_tpu.data.synthetic import make_sphere_dataset
-    from scanerf_tpu.models import field as field_lib
     from scanerf_tpu.train import cameras as cam_lib
-    from scanerf_tpu.train import tile as tile_lib
     from scanerf_tpu.train.tile import TileData, TrainConfig
-    from scanerf_tpu.utils.metrics import psnr
 
     steps = int(os.environ.get("AB_STEPS", 300))
     n_cameras, H, W = 9, 128, 128
@@ -55,34 +89,16 @@ def main():
         keep = set(only.split(","))
         arms = [a for a in arms if a[0] in keep]
     for backend, over in arms:
-        tc = dataclasses.replace(base, **over)
-        params, fstate = field_lib.create_field(
-            jax.random.PRNGKey(0),
-            bbox_corner=np.array([-1.0, -1.0, -1.0]),
-            bbox_size=np.array([2.0, 2.0, 2.0]),
-            log2_hashmap_size=16,
-            grid_resolution=(16, 512),
-            sampler_log2dim=5,
-        )
-        state = tile_lib.create_train_state(params, fstate, hold, tc)
-        tx = tile_lib.build_optimizer(tc)
-        key = jax.random.PRNGKey(1)
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            key, sub = jax.random.split(key)
-            state, aux = tile_lib.train_step(state, data, sub, tc, tx)
-        loss = float(aux["total_loss"])
-        dt = time.perf_counter() - t0
+        try:
+            _run_arm(backend, over, base, data, eval_cams, images, hold,
+                     n_cameras, H, W, steps)
+        except Exception:
+            # one arm's compile rejection (e.g. a Mosaic relayout error,
+            # seen 2026-08-17 on this fabric) must not void the others
+            import traceback
 
-        eval_state = state.replace(
-            params=state.params.replace(
-                se3_refine=jnp.zeros((n_cameras, 6))
-            )
-        )
-        out = tile_lib.render_image(eval_state, eval_cams, hold, H, W, tc)
-        p = psnr(out["rgb"], images[hold])
-        print(f"{backend:10s}: eval PSNR {p:6.2f} dB  "
-              f"(train loss {loss:.5f}, {dt:.0f}s for {steps} steps)")
+            traceback.print_exc()
+            print(f"{backend:10s}: FAILED (see traceback)", flush=True)
 
 
 if __name__ == "__main__":
