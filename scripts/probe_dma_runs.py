@@ -28,29 +28,46 @@ CHUNK = 1024
 D = 16
 
 
-def _kernel(off_ref, src_hbm, out_ref, scratch, sem, *, K):
+def _kernel(off_ref, src_hbm, out_ref, scratch, sem, *, K,
+            overlap=False):
     rows = CHUNK // K
-    acc = jnp.zeros((1, D), jnp.float32)
-    for k in range(K):
-        start = off_ref[0, k]
-        dma = pltpu.make_async_copy(
-            src_hbm.at[pl.ds(start, rows), :],
-            scratch.at[pl.ds(k * rows, rows), :],
-            sem,
-        )
-        dma.start()
-        dma.wait()
+    if overlap:
+        # issue every descriptor, then drain — what a real run-length
+        # expansion kernel would do (per-descriptor LATENCY hides; the
+        # serial variant below measures it exposed, the worst case)
+        dmas = []
+        for k in range(K):
+            start = off_ref[0, k]
+            dma = pltpu.make_async_copy(
+                src_hbm.at[pl.ds(start, rows), :],
+                scratch.at[pl.ds(k * rows, rows), :],
+                sem.at[k],
+            )
+            dma.start()
+            dmas.append(dma)
+        for dma in dmas:
+            dma.wait()
+    else:
+        for k in range(K):
+            start = off_ref[0, k]
+            dma = pltpu.make_async_copy(
+                src_hbm.at[pl.ds(start, rows), :],
+                scratch.at[pl.ds(k * rows, rows), :],
+                sem.at[k],
+            )
+            dma.start()
+            dma.wait()
     acc = jnp.sum(scratch[...], axis=0, keepdims=True)
     out_ref[0:1, :] = acc
 
 
-def build(K, NC, N):
+def build(K, NC, N, overlap=False):
     rng = np.random.RandomState(K)
     rows = CHUNK // K
     offs = rng.randint(0, N - rows, size=(NC, K)).astype(np.int32)
 
     f = pl.pallas_call(
-        functools.partial(_kernel, K=K),
+        functools.partial(_kernel, K=K, overlap=overlap),
         grid=(NC,),
         in_specs=[
             pl.BlockSpec((1, K), lambda c: (c, 0),
@@ -61,7 +78,7 @@ def build(K, NC, N):
         out_shape=jax.ShapeDtypeStruct((NC, D), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((CHUNK, D), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((K,)),
         ],
         interpret=jax.default_backend() == "cpu",
     )
@@ -73,24 +90,26 @@ def main():
     NC = 4096
     src = jax.random.normal(jax.random.PRNGKey(0), (N, D), jnp.float32)
     results = {}
-    for K in (1, 8, 32):
-        f, offs = build(K, NC, N)
-        run = jax.jit(lambda o, s, f=f: f(o, s))
-        out = run(offs, src)
-        _ = float(jnp.ravel(out)[0])
-        ts = []
-        for _ in range(5):
-            t0 = time.perf_counter()
+    for overlap in (False, True):
+        tag = "overlap" if overlap else "serial "
+        for K in (1, 8, 32):
+            f, offs = build(K, NC, N, overlap=overlap)
+            run = jax.jit(lambda o, s, f=f: f(o, s))
             out = run(offs, src)
             _ = float(jnp.ravel(out)[0])
-            ts.append(time.perf_counter() - t0)
-        dt = float(np.median(ts))
-        results[K] = dt
-        print(f"K={K:3d} descriptors/chunk: {dt*1e3:7.1f} ms "
-              f"({NC*K/dt/1e6:.2f}M descriptors/s)", flush=True)
-    if 1 in results and 32 in results:
-        per_desc = (results[32] - results[1]) / (NC * (32 - 1))
-        print(f"per-descriptor overhead ~{per_desc*1e9:.0f} ns -> "
+            ts = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                out = run(offs, src)
+                _ = float(jnp.ravel(out)[0])
+                ts.append(time.perf_counter() - t0)
+            dt = float(np.median(ts))
+            results[(overlap, K)] = dt
+            print(f"{tag} K={K:3d} descriptors/chunk: {dt*1e3:7.1f} ms "
+                  f"({NC*K/dt/1e6:.2f}M descriptors/s)", flush=True)
+        per_desc = (results[(overlap, 32)] - results[(overlap, 1)]) / (
+            NC * (32 - 1))
+        print(f"{tag} per-descriptor overhead ~{per_desc*1e9:.0f} ns -> "
               f"100K-run expansion ~{per_desc*1e5*1e3:.0f} ms", flush=True)
 
 
