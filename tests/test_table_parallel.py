@@ -61,6 +61,35 @@ def test_sharded_grads_match_unsharded():
     assert shard_dims == {feats.shape[1] // 8}, shard_dims
 
 
+def test_sharded_encode_gather_permute_mode():
+    """The gather permutation machinery (PERMUTE_MODE=gather) must be
+    bitwise-identical through the TABLE-SHARDED stream too — if the
+    chip A/B flips the default mode, 2^24 table-parallel training must
+    not regress. Values and both gradients."""
+    x, dirs, feats, res = setup(N=300)
+    mesh = Mesh(np.array(jax.devices()), ("table",))
+    feats_sh = tp.shard_features(feats, mesh, "table")
+
+    def loss(x_, f_):
+        out = tp.encode_table_parallel(x_, dirs, f_, res, mesh, "table")
+        return jnp.sum(out * out)
+
+    want = tp.encode_table_parallel(x, dirs, feats_sh, res, mesh, "table")
+    gx_want, gf_want = jax.grad(loss, argnums=(0, 1))(x, feats)
+    assert hw.permute_mode() == "sort"
+    try:
+        hw.set_permute_mode("gather")
+        got = tp.encode_table_parallel(
+            x, dirs, feats_sh, res, mesh, "table"
+        )
+        gx_got, gf_got = jax.grad(loss, argnums=(0, 1))(x, feats)
+    finally:
+        hw.set_permute_mode("sort")
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    np.testing.assert_array_equal(np.asarray(gx_got), np.asarray(gx_want))
+    np.testing.assert_array_equal(np.asarray(gf_got), np.asarray(gf_want))
+
+
 def _tiny_tile(seed, H_img, W_img, images, depths, ks, c2ws, tc, views):
     from scanerf_tpu.models import field as field_lib
     from scanerf_tpu.train import cameras as cam_lib
