@@ -16,4 +16,19 @@ upstream repo (``file:line``) so parity can be audited.
 
 __version__ = "0.1.0"
 
+# The axon TPU plugin in this image registers itself regardless of the
+# JAX_PLATFORMS env var (and hangs backend init when its tunnel is
+# down). Honor an explicit platform request the way stock JAX would:
+# config-update before the first backend init. No-op when unset.
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    try:
+        import jax as _jax
+
+        _jax.config.update(
+            "jax_platforms", _os.environ["JAX_PLATFORMS"].lower())
+    except Exception:
+        pass
+
 from scanerf_tpu import config as config

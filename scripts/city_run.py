@@ -67,6 +67,19 @@ def main():
             },
         },
     }
+    # CITY_OVERRIDES: YAML dict deep-merged into cfg — lets a CPU smoke
+    # run shrink batch/sample counts without touching the chip recipe,
+    # e.g. CITY_OVERRIDES='{TRAINING: {BATCH_LOG2: 6, NUM_SAMPLE: 8}}'
+    overrides = os.environ.get("CITY_OVERRIDES", "")
+    if overrides:
+        def _merge(dst, src):
+            for k, v in src.items():
+                if isinstance(v, dict) and isinstance(dst.get(k), dict):
+                    _merge(dst[k], v)
+                else:
+                    dst[k] = v
+        _merge(cfg, yaml.safe_load(overrides))
+
     cfg_path = os.path.join(scene_dir, "city_cfg.yaml")
     with open(cfg_path, "w") as f:
         yaml.safe_dump(cfg, f)

@@ -16,9 +16,16 @@ Run on the real chip: python scripts/probe_dma_runs.py
 """
 
 import functools
+import os
 import time
 
 import jax
+
+# honor an explicit JAX_PLATFORMS request (the axon plugin ignores the
+# env var and hangs init when its tunnel is down) — enables CPU smokes
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"].lower())
+
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
@@ -86,8 +93,10 @@ def build(K, NC, N, overlap=False):
 
 
 def main():
-    N = 2**22
-    NC = 4096
+    # env knobs so a CPU interpret-mode smoke can shrink the workload
+    # (PROBE_LOGN=12 PROBE_NC=4 validates shapes without the chip)
+    N = 2 ** int(os.environ.get("PROBE_LOGN", 22))
+    NC = int(os.environ.get("PROBE_NC", 4096))
     src = jax.random.normal(jax.random.PRNGKey(0), (N, D), jnp.float32)
     results = {}
     for overlap in (False, True):

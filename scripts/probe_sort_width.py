@@ -10,9 +10,16 @@ rows/s" number came from tunnel-corrupted fetches).
 Run on the real chip: python scripts/probe_sort_width.py
 """
 
+import os
 import time
 
 import jax
+
+# honor an explicit JAX_PLATFORMS request (the axon plugin ignores the
+# env var and hangs init when its tunnel is down) — enables CPU smokes
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"].lower())
+
 import jax.numpy as jnp
 import numpy as np
 
