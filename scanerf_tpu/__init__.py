@@ -18,17 +18,22 @@ __version__ = "0.1.0"
 
 # The axon TPU plugin in this image registers itself regardless of the
 # JAX_PLATFORMS env var (and hangs backend init when its tunnel is
-# down). Honor an explicit platform request the way stock JAX would:
-# config-update before the first backend init. No-op when unset.
+# down). Honor an explicit NON-axon platform request (JAX_PLATFORMS=cpu
+# for dryruns/probes) the way stock JAX would: config-update before the
+# first backend init. Values naming axon are skipped — that is the
+# plugin's (and this image's baked env) default anyway, and applying it
+# here would clobber an earlier explicit jax.config.update("cpu") such
+# as tests/conftest.py's, re-enabling axon inside the test runner.
 import os as _os
 
-if _os.environ.get("JAX_PLATFORMS"):
+_plat = _os.environ.get("JAX_PLATFORMS", "").lower()
+if _plat and "axon" not in _plat:
     try:
         import jax as _jax
 
-        _jax.config.update(
-            "jax_platforms", _os.environ["JAX_PLATFORMS"].lower())
+        _jax.config.update("jax_platforms", _plat)
     except Exception:
         pass
+del _plat
 
 from scanerf_tpu import config as config

@@ -117,9 +117,12 @@ DEFAULTS: dict[str, Any] = {
         # prime-XOR hash via XLA gather, reference semantics oracle)
         "HASH_BACKEND": "windowed",
         # sorted-stream permutation machinery: "sort" | "gather" |
-        # "gather_narrow" — bitwise-identical outputs; see PERF.md
-        # round-3d (per-fabric A/B via scripts/bench_permute_ab.py)
+        # "gather_narrow" | "runs" — bitwise-identical outputs; see
+        # PERF.md round-3d (per-fabric A/B, scripts/bench_permute_ab.py)
         "PERMUTE_MODE": "sort",
+        # static run-table capacity for PERMUTE_MODE="runs" (fraction
+        # of the stream length; overflow falls back to the sorted path)
+        "RUN_CAP_FRAC": 0.25,
         "ETA": {"HASH_FEATURE": 1e-3, "DECODER": 1e-3, "CAM": 1e-4},
         "CAMOPT": {"ENABLE": True, "NOISE": 0.0, "START_STEPS": 0},
         "LOSS": {

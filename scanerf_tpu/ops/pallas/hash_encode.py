@@ -68,18 +68,32 @@ PRIMES = (1, 2654435761, 805459861)
 # computes the inverse permutation once (elementwise padded positions +
 # ONE cheap 2-operand sort) and the other three reorders (unsort fwd,
 # unsort bwd, sort_pack bwd) become plain row gathers — 2 sorts + 3
-# gathers per step instead of 4 payload-carrying sorts. Outputs are
-# bitwise identical (same permutation, different machinery); which is
-# faster is a per-fabric question (scripts/probe_sort_width.py measures
-# the gather rate). Static per trace: set before jit/first call.
+# gathers per step instead of 4 payload-carrying sorts. "runs" goes
+# further and removes the N-sized sorts entirely: window ids along a
+# ray are piecewise constant (PERF.md round-3c: R/N ~ 0.11 at
+# production sample counts), so sort_pack sorts only the run table
+# (ONE small R-sort) and derives both the forward expansion and the
+# inverse permutation analytically from run offsets — runs are
+# contiguous in the ORIGINAL stream, so src[p] and inv[i] are
+# elementwise in the run tables. Overflowing the static run capacity
+# (SCANERF_RUN_CAP_FRAC, default 0.25) falls back to the sorted path
+# inside a lax.cond, so "runs" is always correct. Outputs are bitwise
+# identical across modes (same stable permutation, different
+# machinery); which is faster is a per-fabric question
+# (scripts/bench_permute_ab.py). Static per trace: set before jit.
 _PERMUTE_MODE = os.environ.get("SCANERF_PERMUTE_MODE", "sort")
+
+_RUN_CAP_FRAC = float(os.environ.get("SCANERF_RUN_CAP_FRAC", "0.25"))
+
+PERMUTE_MODES = ("sort", "gather", "gather_narrow", "runs")
 
 
 def set_permute_mode(mode: str) -> None:
-    """Select permutation machinery: "sort" (default), "gather", or
-    "gather_narrow" (gather + 2-operand main sort)."""
+    """Select permutation machinery: "sort" (default), "gather",
+    "gather_narrow" (gather + 2-operand main sort), or "runs"
+    (run-length sort: no N-sized sorts at all)."""
     global _PERMUTE_MODE
-    if mode not in ("sort", "gather", "gather_narrow"):
+    if mode not in PERMUTE_MODES:
         raise ValueError(mode)
     _PERMUTE_MODE = mode
 
@@ -88,11 +102,30 @@ def permute_mode() -> str:
     return _PERMUTE_MODE
 
 
+def set_run_cap_frac(frac: float) -> None:
+    """Static run-table capacity for "runs" mode, as a fraction of N.
+
+    Measured run statistics are R/N ~ 0.11-0.15 (PERF.md); the default
+    0.25 gives ~2x headroom. A stream with more runs than the capacity
+    falls back to the sorted path (correct, slower). 1.0 disables the
+    fallback entirely (used by the parity tests on incoherent data).
+    """
+    global _RUN_CAP_FRAC
+    if not 0.0 < frac <= 1.0:
+        raise ValueError(frac)
+    _RUN_CAP_FRAC = frac
+
+
+def _run_capacity(N: int) -> int:
+    return max(min(N, 256), int(N * _RUN_CAP_FRAC))
+
+
 def _gather_mode() -> bool:
-    """Both gather variants share the inverse-permutation machinery;
+    """The gather variants and "runs" share the inverse-permutation
+    machinery (unsort fwd/bwd and sort_pack bwd are row gathers);
     "gather_narrow" additionally narrows the main sort to 2 operands
     and gathers the payload columns."""
-    return _PERMUTE_MODE in ("gather", "gather_narrow")
+    return _PERMUTE_MODE in ("gather", "gather_narrow", "runs")
 
 W = 512  # entries per window (one 8x128 f32 vreg of interleaved feats)
 WB = 32  # windows per block (slab unit)
@@ -293,6 +326,177 @@ def _sort_pack_impl(
     n_tables: int = 1,
     need_inverse: bool = True,
 ):
+    """Dispatch on the permute mode: "runs" builds the stream from the
+    run table (no N-sized sort); everything else goes through the
+    sorted path."""
+    if _PERMUTE_MODE == "runs":
+        return _sort_pack_runs(x, dirs, H, tids, n_tables)
+    return _sort_pack_sorted(x, dirs, H, tids, n_tables, need_inverse)
+
+
+def _point_wids(x: jax.Array, H: int, tids, n_tables: int):
+    """Shared head: contracted coords u [N,3] and (multi-table) window
+    ids [N] int32."""
+    NW, NB, _ = geometry(H)
+    NW, NB = NW * n_tables, NB * n_tables
+    u = (x + 2.0) * 0.25
+    wid = window_id(u, H)
+    if tids is not None:
+        wid = wid + tids.astype(jnp.int32) * (NW // n_tables)
+    return u, wid, NW, NB
+
+
+def _stream_meta(pts: jax.Array, NC: int) -> jax.Array:
+    """Per-SUBTILE window ranges: row t of meta[c] = (boc, wmin_t,
+    span_t, 0) for the 128-point lane subtile t (the kernel loops each
+    subtile over only the windows it actually touches)."""
+    widp = pts[:, 3, :].astype(jnp.int32).reshape(NC, SUBT, 128)
+    wmin_t = jnp.min(widp, axis=2)  # [NC, 8]
+    wmax_t = jnp.max(widp, axis=2)
+    boc_c = jnp.min(wmin_t, axis=1) // WB  # [NC]
+    return jnp.stack(
+        [jnp.broadcast_to(boc_c[:, None], (NC, SUBT)),
+         wmin_t, wmax_t - wmin_t + 1,
+         jnp.zeros_like(wmin_t)], axis=-1
+    ).astype(jnp.int32)
+
+
+def _sort_pack_runs(
+    x: jax.Array,
+    dirs: jax.Array,
+    H: int,
+    tids: jax.Array | None = None,
+    n_tables: int = 1,
+):
+    """Run-length sort_pack: zero N-sized sorts.
+
+    Points arrive ray-major and depth-ordered, so the window id is
+    piecewise constant along the stream (~19 fg / ~9 bg runs per
+    128-sample ray, PERF.md round-3c). The permutation that stable-sorts
+    points by window id therefore decomposes into (a) a stable sort of
+    the ~0.11*N run table by window id and (b) contiguous-block
+    copies — and because each run is contiguous in the ORIGINAL stream,
+    both directions of the permutation are ELEMENTWISE in the run
+    tables:
+
+        src[p]  = run_src[seg(p)] + (p - run_dst[seg(p)])   (expansion)
+        inv[i]  = run_dst[rid[i]] + (i - run_start[rid[i]]) (inverse)
+
+    seg(p) comes from one R-row scatter of run starts + a cumsum; the
+    stream payload is then ONE [Np, 6] row gather straight into the
+    padded chunk layout (no pack DMA kernel, no f32 pid round-trip).
+    Total machinery: 1 cumsum(N), 1 small searchsorted compaction, 2
+    stable R-sorts, 1 R-scatter, 1 cumsum(Np), and row gathers.
+
+    The run capacity is static (``set_run_cap_frac``); a stream with
+    more runs falls back to ``_sort_pack_sorted`` inside a lax.cond, so
+    the mode is always correct. Output is bitwise identical to the
+    sorted path (stable order, same pad values).
+    """
+    N = x.shape[0]
+    assert N >= 1
+    u, wid, NW, NB = _point_wids(x, H, tids, n_tables)
+    Np, NC = padded_size(N, H, n_tables)
+    R_cap = _run_capacity(N)
+
+    st = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32), (wid[1:] != wid[:-1]).astype(jnp.int32)]
+    )
+    cs = jnp.cumsum(st)  # [N] 1-based run count up to i
+    iota_n = jnp.arange(N, dtype=jnp.int32)
+
+    def runs_branch(_):
+        # --- run table in original order (compaction via binary search)
+        qk = jnp.arange(1, R_cap + 1, dtype=jnp.int32)
+        run_start = jnp.searchsorted(cs, qk, side="left").astype(jnp.int32)
+        run_end = jnp.concatenate(
+            [run_start[1:], jnp.full((1,), N, jnp.int32)])
+        run_len = run_end - run_start  # 0 for slots past the last run
+        sentinel = jnp.int32(2**30)
+        run_wid = jnp.where(
+            run_start < N, wid[jnp.minimum(run_start, N - 1)], sentinel)
+
+        # --- ONE stable 2-operand sort of the run table by window id;
+        # ties keep original run order => point order == stable sort
+        ks = jnp.arange(R_cap, dtype=jnp.int32)
+        wid_s, k_s = jax.lax.sort((run_wid, ks), num_keys=1)
+        len_s = jnp.take(run_len, k_s)
+        src_s = jnp.take(run_start, k_s)
+
+        # --- raw (unpadded) sorted positions and block tables
+        cum = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32),
+             jnp.cumsum(len_s).astype(jnp.int32)])  # [R_cap+1], cum[-1]=N
+        kk = jnp.searchsorted(
+            wid_s, jnp.arange(NB + 1, dtype=jnp.int32) * WB, side="left")
+        bounds = jnp.take(cum, kk)  # [NB+1] == sorted-path bounds
+        pop = bounds[1:] - bounds[:-1]
+        padded = ((pop + CHUNK - 1) // CHUNK) * CHUNK
+        S = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.cumsum(padded).astype(jnp.int32)])
+
+        # --- padded destination start of each sorted run
+        shift_b = S[:-1] - bounds[:-1]  # [NB]
+        blk = jnp.clip(wid_s // WB, 0, NB - 1)
+        dst_s = cum[:-1] + jnp.take(shift_b, blk)
+        dst_s = jnp.where(len_s > 0, dst_s, Np)  # park empty slots OOB
+
+        # --- seg(p): index (in dst order) of the run governing position p
+        starts = jnp.zeros((Np,), jnp.int32).at[dst_s].add(1, mode="drop")
+        seg = jnp.cumsum(starts) - 1  # [Np] >= 0 (first run starts at 0)
+        off = jnp.arange(Np, dtype=jnp.int32) - jnp.take(dst_s, seg)
+        valid = off < jnp.take(len_s, seg)
+        src = jnp.where(valid, jnp.take(src_s, seg) + off, N)  # [Np]
+
+        # --- pad window id per chunk (same formula as the sorted path)
+        c0 = jnp.arange(NC, dtype=jnp.int32) * CHUNK
+        b_of_c = jnp.clip(
+            jnp.searchsorted(S, c0, side="right").astype(jnp.int32) - 1,
+            0, NB - 1)
+        padwid = jnp.where(c0 < S[NB], b_of_c * WB, NW - 1)  # [NC]
+
+        # --- assemble the padded stream with ONE [Np, 6] row gather
+        pay = jnp.concatenate(
+            [jnp.concatenate([u, dirs], axis=1),
+             jnp.array([[0.5, 0.5, 0.5, 0.0, 0.0, 0.0]], jnp.float32)])
+        g = jnp.take(pay, src, axis=0)  # [Np, 6]
+        widf = jnp.where(
+            valid, jnp.take(wid_s, seg).astype(jnp.float32),
+            jnp.broadcast_to(
+                padwid[:, None].astype(jnp.float32), (NC, CHUNK)
+            ).reshape(Np))
+        stream8 = jnp.stack(
+            [g[:, 0], g[:, 1], g[:, 2], widf,
+             g[:, 3], g[:, 4], g[:, 5], jnp.zeros((Np,), jnp.float32)])
+        pts = stream8.reshape(8, NC, CHUNK).transpose(1, 0, 2)
+
+        # --- inverse permutation, elementwise per original row
+        dst_of_k = jax.lax.sort((k_s, dst_s), num_keys=1)[1]  # original-k
+        rid = cs - 1
+        inv_full = (jnp.take(dst_of_k, rid)
+                    + iota_n - jnp.take(run_start, rid))
+        return pts, src, inv_full, pop > 0
+
+    def sort_branch(_):
+        s = _sort_pack_sorted(x, dirs, H, tids, n_tables, True)
+        return s.pts, s.pidp, s.inv_full, s.visited
+
+    pts, pidp, inv_full, visited = jax.lax.cond(
+        cs[-1] <= R_cap, runs_branch, sort_branch, None)
+    return SortedStream(
+        pts=pts, meta=_stream_meta(pts, NC), pidp=pidp,
+        inv_full=inv_full, visited=visited,
+    )
+
+
+def _sort_pack_sorted(
+    x: jax.Array,
+    dirs: jax.Array,
+    H: int,
+    tids: jax.Array | None = None,
+    n_tables: int = 1,
+    need_inverse: bool = True,
+):
     """tids (optional) [N] int32: per-point table index for multi-table
     streams (the multi-tile renderer). Window ids become
     ``tid * NW + wid``; tile boundaries then coincide with block
@@ -402,18 +606,7 @@ def _sort_pack_impl(
     )(meta_c, src)
     pidp = pidp2.reshape(Np)
 
-    # per-SUBTILE window ranges: row t of meta[c] = (boc, wmin_t, span_t, 0)
-    # for the 128-point lane subtile t (the kernel loops each subtile over
-    # only the windows it actually touches)
-    widp = pts[:, 3, :].astype(jnp.int32).reshape(NC, SUBT, 128)
-    wmin_t = jnp.min(widp, axis=2)  # [NC, 8]
-    wmax_t = jnp.max(widp, axis=2)
-    boc_c = jnp.min(wmin_t, axis=1) // WB  # [NC]
-    meta = jnp.stack(
-        [jnp.broadcast_to(boc_c[:, None], (NC, SUBT)),
-         wmin_t, wmax_t - wmin_t + 1,
-         jnp.zeros_like(wmin_t)], axis=-1
-    ).astype(jnp.int32)
+    meta = _stream_meta(pts, NC)
 
     # Permutation inverse. "sort" mode: not computed here — unsort_rows
     # derives it INSIDE its forward sort as one extra payload (the base

@@ -117,9 +117,14 @@ class TrainConfig:
     # under table sharding (sharded streams psum FEATURES)
     fused_decoder: bool = True
     # permutation machinery for the sorted stream: "sort" | "gather" |
-    # "gather_narrow" (hash_encode.set_permute_mode; bitwise-identical
-    # outputs, per-fabric winner). Applied process-wide at Trainer init.
+    # "gather_narrow" | "runs" (hash_encode.set_permute_mode;
+    # bitwise-identical outputs, per-fabric winner). Applied
+    # process-wide at Trainer init.
     permute_mode: str = "sort"
+    # static run-table capacity for permute_mode="runs", as a fraction
+    # of the stream length (hash_encode.set_run_cap_frac; overflowing
+    # streams fall back to the sorted path inside a lax.cond)
+    run_cap_frac: float = 0.25
 
     @classmethod
     def from_cfg(cls, cfg) -> "TrainConfig":
@@ -156,6 +161,7 @@ class TrainConfig:
             hash_bwd_bf16=T.get("HASH_BWD_BF16", False),
             fused_decoder=T.get("FUSED_DECODER", True),
             permute_mode=T.get("PERMUTE_MODE", "sort"),
+            run_cap_frac=T.get("RUN_CAP_FRAC", 0.25),
             stochastic_hash_grad=T.get("STOCHASTIC_HASH_GRAD", False),
             warp_vis_sample=L.get("WARP_VIS_SAMPLE", 32),
             warp_vis_bg_sample=L.get("WARP_VIS_BG_SAMPLE", 32),

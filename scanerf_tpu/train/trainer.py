@@ -66,6 +66,7 @@ class Trainer:
             from scanerf_tpu.ops.pallas import hash_encode as _hw
 
             _hw.set_permute_mode(self.tc.permute_mode)
+            _hw.set_run_cap_frac(self.tc.run_cap_frac)
         self.datadir = cfg.DATADIR
         self.tile_idxs: list[int] = list(cfg.TILES)
 

@@ -3,6 +3,10 @@
 The gather mode (hash_encode.set_permute_mode) replaces 3 of the train
 step's 4 lax.sorts with row gathers fed by an inverse permutation that
 sort_pack derives from its block tables + ONE cheap 2-operand sort.
+"runs" removes the N-sized sorts entirely: the ray-coherent training
+stream has ~0.11*N window-id runs, so only the run table is sorted and
+both permutation directions are derived analytically (falls back to
+the sorted path via lax.cond if a stream overflows the run capacity).
 Outputs are bitwise identical (test_pallas_hash); this measures which
 machinery is faster on the attached fabric at the production workload
 (16K rays x (128+128) samples, 2^21 table).
@@ -55,16 +59,31 @@ def main():
     B = 2**base.batch_log2 // n_cameras // 4 * 4 * n_cameras
     tx = tile_lib.build_optimizer(base)
 
-    for i, mode in enumerate(("sort", "gather", "gather_narrow")):
+    import time
+    import traceback
+    t0 = time.time()
+    for i, mode in enumerate(("sort", "gather", "gather_narrow", "runs")):
+        # each arm pays a fresh first compile (3-15 min on this fabric);
+        # bail before starting one that the worklist timeout would kill
+        # mid-compile (axon wedges hard on mid-compile client kills)
+        if time.time() - t0 > 3300:
+            print(f"permute={mode:6s}: SKIPPED (elapsed budget)", flush=True)
+            continue
         hw.set_permute_mode(mode)
         # tc is a static jit arg: an EQUAL config would reuse the
         # previous mode's trace — bust the cache with a timing-neutral
         # field change
         tc = dataclasses.replace(base, total_step=40000 + i)
-        state = tile_lib.create_train_state(params, fstate, n_cameras, tc)
-        t, loss = med_steps(state, data, tc, tx, n=n)
-        print(f"permute={mode:6s}: {t*1e3:8.1f} ms/step -> "
-              f"{B/t:8.0f} rays/s (loss {loss:.4f})", flush=True)
+        try:
+            state = tile_lib.create_train_state(
+                params, fstate, n_cameras, tc)
+            t, loss = med_steps(state, data, tc, tx, n=n)
+            print(f"permute={mode:6s}: {t*1e3:8.1f} ms/step -> "
+                  f"{B/t:8.0f} rays/s (loss {loss:.4f})", flush=True)
+        except Exception as e:  # isolate arms: one rejection != no data
+            traceback.print_exc()
+            print(f"permute={mode:6s}: FAILED ({type(e).__name__})",
+                  flush=True)
     hw.set_permute_mode("sort")
 
 

@@ -10,6 +10,7 @@ view directions (pose chain).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from scanerf_tpu.models import decoder as decoder_lib
 from scanerf_tpu.models import field as field_lib
@@ -155,8 +156,9 @@ def test_render_rays_fused_matches_unfused():
         )
 
 
-def test_fused_gradients_bitwise_under_gather_mode():
-    # the gather permutation machinery (hash_encode.set_permute_mode)
+@pytest.mark.parametrize("mode", ["gather", "runs"])
+def test_fused_gradients_bitwise_under_gather_mode(mode):
+    # the gather/runs permutation machinery (hash_encode.set_permute_mode)
     # must leave the fused path's values AND gradients bitwise unchanged
     args = _setup(seed=3)
     x, dirs, feats, res, dec, wf = args
@@ -172,10 +174,13 @@ def test_fused_gradients_bitwise_under_gather_mode():
 
     assert hw.permute_mode() == "sort"
     ref = run()
-    hw.set_permute_mode("gather")
+    hw.set_permute_mode(mode)
+    if mode == "runs":
+        hw.set_run_cap_frac(1.0)  # random points: ~N runs
     try:
         got = run()
     finally:
         hw.set_permute_mode("sort")
+        hw.set_run_cap_frac(0.25)
     for a, b in zip(ref, got):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

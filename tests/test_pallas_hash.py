@@ -152,11 +152,16 @@ def test_backward_bf16_onehot_bounded_error():
     assert np.abs(np.asarray(df_b)).max() > 0
 
 
-@pytest.mark.parametrize("mode", ["gather", "gather_narrow"])
+@pytest.mark.parametrize("mode", ["gather", "gather_narrow", "runs"])
 def test_permute_gather_mode_bitwise_parity(mode):
-    # "gather" permutation machinery must reproduce the "sort" path
-    # BITWISE: identical permutation, different application (PERF.md
-    # round-3 sort-tax work — 2 sorts + 3 gathers vs 4 sorts).
+    # "gather"/"runs" permutation machinery must reproduce the "sort"
+    # path BITWISE: identical permutation, different application
+    # (PERF.md round-3 sort-tax work). Random points are maximally
+    # incoherent (~N runs), so "runs" needs cap frac 1.0 here to stay
+    # on its run-table branch; the coherent/fallback splits are covered
+    # by the two tests below.
+    if mode == "runs":
+        hw.set_run_cap_frac(1.0)
     key = jax.random.PRNGKey(6)
     pts, feats, res = _make_inputs(key, 900, h=65536)
     cluster = 0.01 * jax.random.normal(key, (300, 3)) + 1.3
@@ -187,5 +192,83 @@ def test_permute_gather_mode_bitwise_parity(mode):
         got = run()
     finally:
         hw.set_permute_mode("sort")
+        hw.set_run_cap_frac(0.25)
     for a, b in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def _coherent_stream(n_rays=24, n_samples=96):
+    """Ray-like stream: piecewise-constant window ids (few runs), the
+    workload "runs" mode is designed for."""
+    key = jax.random.PRNGKey(11)
+    ko, kd = jax.random.split(key)
+    o = jax.random.uniform(ko, (n_rays, 1, 3), minval=-0.5, maxval=0.5)
+    d = jax.random.normal(kd, (n_rays, 1, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    t = jnp.linspace(0.05, 1.6, n_samples)[None, :, None]
+    pts = jnp.clip(o + t * d, -1.99, 1.99).reshape(-1, 3)
+    dirs = jnp.broadcast_to(d, (n_rays, n_samples, 3)).reshape(-1, 3)
+    return pts, dirs
+
+
+def _stream_tuple(s):
+    return (s.pts, s.meta, s.pidp.astype(jnp.int32),
+            s.inv_full, s.visited)
+
+
+def test_permute_runs_coherent_stream_bitwise():
+    # Default cap frac (0.25): a ray-coherent stream stays on the
+    # run-table branch and must match the sort path bitwise, including
+    # meta/pidp/inv_full and gradients through sort_pack+unsort.
+    pts, dirs = _coherent_stream()
+    N = pts.shape[0]
+    wid = hw.window_id((pts + 2.0) * 0.25, 65536)
+    n_runs = int(np.sum(np.asarray(wid)[1:] != np.asarray(wid)[:-1])) + 1
+    assert n_runs <= hw._run_capacity(N), (n_runs, N)  # stays on-branch
+
+    def grads(p, d):
+        def loss(p, d):
+            s = hw.sort_pack(p, d, 65536)
+            cols = s.pts[:, 0:4, :].transpose(0, 2, 1).reshape(-1, 4)
+            r = hw.unsort_rows(cols, s.pidp, s.inv_full, p.shape[0])
+            return jnp.sum(r * r)
+        return jax.value_and_grad(loss, argnums=(0, 1))(p, d)
+
+    assert hw.permute_mode() == "sort"
+    ref_s = _stream_tuple(hw.sort_pack(pts, dirs, 65536))
+    ref_g = grads(pts, dirs)
+    hw.set_permute_mode("runs")
+    try:
+        got_s = _stream_tuple(hw.sort_pack(pts, dirs, 65536))
+        got_g = grads(pts, dirs)
+    finally:
+        hw.set_permute_mode("sort")
+    for a, b in zip(ref_s, got_s):
+        if a is None:
+            continue  # sort mode computes no inv_full
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(ref_g[0]), np.asarray(got_g[0]))
+    for a, b in zip(ref_g[1], got_g[1]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_permute_runs_overflow_falls_back():
+    # More runs than the static capacity: the lax.cond fallback must
+    # kick in and still produce the exact sorted-path stream.
+    key = jax.random.PRNGKey(12)
+    pts, _, _ = _make_inputs(key, 900, h=65536)  # ~900 runs
+    dirs = jax.random.normal(jax.random.PRNGKey(13), (900, 3))
+    assert hw.permute_mode() == "sort"
+    ref = _stream_tuple(hw.sort_pack(pts, dirs, 65536))
+    hw.set_permute_mode("runs")
+    try:
+        # floor capacity (256) << 900 runs -> fallback branch
+        hw.set_run_cap_frac(1e-6)
+        got = _stream_tuple(hw.sort_pack(pts, dirs, 65536))
+    finally:
+        hw.set_permute_mode("sort")
+        hw.set_run_cap_frac(0.25)
+    for a, b in zip(ref, got):
+        if a is None:
+            continue
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -5,6 +5,7 @@ gradients — memory for table/moments scales 1/n_devices."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import Mesh
 
 from scanerf_tpu.ops.pallas import hash_encode as hw
@@ -61,8 +62,9 @@ def test_sharded_grads_match_unsharded():
     assert shard_dims == {feats.shape[1] // 8}, shard_dims
 
 
-def test_sharded_encode_gather_permute_mode():
-    """The gather permutation machinery (PERMUTE_MODE=gather) must be
+@pytest.mark.parametrize("mode", ["gather", "runs"])
+def test_sharded_encode_gather_permute_mode(mode):
+    """The gather/runs permutation machinery (PERMUTE_MODE) must be
     bitwise-identical through the TABLE-SHARDED stream too — if the
     chip A/B flips the default mode, 2^24 table-parallel training must
     not regress. Values and both gradients."""
@@ -78,13 +80,16 @@ def test_sharded_encode_gather_permute_mode():
     gx_want, gf_want = jax.grad(loss, argnums=(0, 1))(x, feats)
     assert hw.permute_mode() == "sort"
     try:
-        hw.set_permute_mode("gather")
+        hw.set_permute_mode(mode)
+        if mode == "runs":
+            hw.set_run_cap_frac(1.0)  # random points: ~N runs
         got = tp.encode_table_parallel(
             x, dirs, feats_sh, res, mesh, "table"
         )
         gx_got, gf_got = jax.grad(loss, argnums=(0, 1))(x, feats)
     finally:
         hw.set_permute_mode("sort")
+        hw.set_run_cap_frac(0.25)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
     np.testing.assert_array_equal(np.asarray(gx_got), np.asarray(gx_want))
     np.testing.assert_array_equal(np.asarray(gf_got), np.asarray(gf_want))
