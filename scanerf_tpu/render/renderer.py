@@ -710,14 +710,28 @@ def _render_windowed(
     )
 
     n_fg = N * S * Kf
-    X = jnp.concatenate([x_fg.reshape(-1, 3), x_bg.reshape(-1, 3)])
+    # SLOT-MAJOR stream order ([K,N,S] flattened, not [N,S,K]): within
+    # one slot the stream is ray-major and depth-ordered inside a single
+    # tile, so window ids are piecewise constant — the same coherence
+    # the training stream has, which PERMUTE_MODE="runs" turns into a
+    # run-table sort (PERF.md round-3d). Slot-fastest order would
+    # alternate tiles sample-to-sample (runs of length ~1 in overlaps).
+    # Row values are order-independent and unsort_rows restores this
+    # exact order, so the blend below is unaffected in every mode.
+    X = jnp.concatenate([
+        x_fg.transpose(2, 0, 1, 3).reshape(-1, 3),
+        x_bg.transpose(2, 0, 1, 3).reshape(-1, 3),
+    ])
     TID = jnp.concatenate([
-        tags.reshape(-1),
-        jnp.broadcast_to(bg_tiles[:, None, :], (N, Sb, Kb)).reshape(-1),
+        tags.transpose(2, 0, 1).reshape(-1),
+        jnp.broadcast_to(bg_tiles[:, None, :], (N, Sb, Kb))
+           .transpose(2, 0, 1).reshape(-1),
     ])
     DIR = jnp.concatenate([
-        jnp.broadcast_to(rays_d[:, None, None, :], (N, S, Kf, 3)).reshape(-1, 3),
-        jnp.broadcast_to(rays_d[:, None, None, :], (N, Sb, Kb, 3)).reshape(-1, 3),
+        jnp.broadcast_to(rays_d[:, None, None, :], (N, S, Kf, 3))
+           .transpose(2, 0, 1, 3).reshape(-1, 3),
+        jnp.broadcast_to(rays_d[:, None, None, :], (N, Sb, Kb, 3))
+           .transpose(2, 0, 1, 3).reshape(-1, 3),
     ])
 
     stream = hw.sort_pack_tables(X, DIR, TID, H, T)
@@ -743,7 +757,7 @@ def _render_windowed(
     rows = hw.unsort_rows(cols, stream.pidp, stream.inv_full, X.shape[0])
 
     # ---- fg blend (pts_inference :500-621) ----
-    rf = rows[:n_fg].reshape(N, S, Kf, 4)
+    rf = jnp.moveaxis(rows[:n_fg].reshape(Kf, N, S, 4), 0, 2)
     sig_f = rf[..., 0]
     alpha_f = 1.0 - jnp.exp(-sig_f * (dists * dnorm)[..., None])
     wa = w_fg * alpha_f * m_eval.astype(jnp.float32)
@@ -755,7 +769,7 @@ def _render_windowed(
     rgb_fg, depth_fg, T_left = _composite_premult(alpha, color, z_vals)
 
     # ---- bg: composite each exit slot separately, then blend ----
-    rb = rows[n_fg:].reshape(N, Sb, Kb, 4)
+    rb = jnp.moveaxis(rows[n_fg:].reshape(Kb, N, Sb, 4), 0, 2)
     sig_b = rb[..., 0]
     alpha_b = 1.0 - jnp.exp(-sig_b * (d_bg * dnorm)[..., None])  # [N,Sb,Kb]
     color_b = rb[..., 1:4]

@@ -284,3 +284,34 @@ def test_features_flat_matches_fallback():
     np.testing.assert_array_equal(
         np.asarray(a["depth"]), np.asarray(b["depth"])
     )
+
+
+def test_render_permute_runs_bitwise():
+    """The full windowed render must be BITWISE identical under the
+    "runs" permutation machinery (PERF.md round-3d) — both on the
+    run-table branch (cap 1.0) and through the lax.cond fallback
+    (floor capacity). The slot-major stream order exists precisely so
+    production chunks stay on the run branch."""
+    from scanerf_tpu.ops.pallas import hash_encode as hw
+
+    scene = make_scene(seed=5)
+    rng = np.random.RandomState(21)
+    rays_o = jnp.asarray(rng.randn(16, 3).astype(np.float32) * 0.3)
+    rays_d = jnp.asarray(rng.randn(16, 3).astype(np.float32))
+    kw = dict(num_sample=10, num_bg_sample=5, num_march=32,
+              backend="windowed")
+    assert hw.permute_mode() == "sort"
+    want = renderer.render_rays(scene, rays_o, rays_d, **kw)
+    try:
+        hw.set_permute_mode("runs")
+        for cap in (1.0, 1e-6):  # run branch / fallback branch
+            hw.set_run_cap_frac(cap)
+            got = renderer.render_rays(scene, rays_o, rays_d, **kw)
+            for k in ("rgb", "depth", "T_left"):
+                np.testing.assert_array_equal(
+                    np.asarray(want[k]), np.asarray(got[k]),
+                    err_msg=f"cap={cap} key={k}",
+                )
+    finally:
+        hw.set_permute_mode("sort")
+        hw.set_run_cap_frac(0.25)
