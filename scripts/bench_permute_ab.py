@@ -75,8 +75,12 @@ def main():
         # field change
         tc = dataclasses.replace(base, total_step=40000 + i)
         try:
+            # train_step donates the state, which aliases params/fstate
+            # buffers — hand each arm COPIES so the masters survive the
+            # previous arm's donation (jit default: no donation)
+            cp = jax.jit(lambda t: jax.tree_util.tree_map(jnp.copy, t))
             state = tile_lib.create_train_state(
-                params, fstate, n_cameras, tc)
+                cp(params), cp(fstate), n_cameras, tc)
             t, loss = med_steps(state, data, tc, tx, n=n)
             print(f"permute={mode:6s}: {t*1e3:8.1f} ms/step -> "
                   f"{B/t:8.0f} rays/s (loss {loss:.4f})", flush=True)

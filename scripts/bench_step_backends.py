@@ -62,7 +62,11 @@ def main():
     for backend, stoch in (("windowed", False), ("xla", True)):
         tc = dataclasses.replace(
             base, hash_backend=backend, stochastic_hash_grad=stoch)
-        state = tile_lib.create_train_state(params, fstate, n_cameras, tc)
+        # train_step donates the state, which aliases params/fstate —
+        # hand each arm copies so the masters survive the previous arm
+        cp = jax.jit(lambda t: jax.tree_util.tree_map(jnp.copy, t))
+        state = tile_lib.create_train_state(
+            cp(params), cp(fstate), n_cameras, tc)
         tx = tile_lib.build_optimizer(tc)
         t, loss = med_steps(state, data, tc, tx)
         print(f"{backend:9s}: {t*1e3:8.1f} ms/step  -> {B/t:8.0f} rays/s "
