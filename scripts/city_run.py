@@ -27,7 +27,9 @@ def main():
 
     from scanerf_tpu.data.city import write_city_scene_dir
 
-    scene_dir = os.environ.get("CITY_DIR", "/tmp/cityscene_e2e")
+    # in-repo (gitignored) so checkpoints survive machine restarts —
+    # /tmp was wiped twice during round 3, losing the r3d run
+    scene_dir = os.environ.get("CITY_DIR", "/root/repo/logs/cityscene_e2e")
     if not os.path.exists(os.path.join(scene_dir, "camera.log")):
         info = write_city_scene_dir(
             scene_dir, nx_tiles=nx, nz_tiles=nz, n_cameras=n_cams,
