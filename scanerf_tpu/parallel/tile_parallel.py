@@ -46,18 +46,26 @@ def stack_tiles(states: list[TrainState], cam_maps: np.ndarray) -> ParallelTiles
     return ParallelTiles(state=stacked, cam_map=cam_map, confidence=conf)
 
 
-def make_tile_mesh(devices=None, n_table: int = 1) -> Mesh:
-    """1D ``tiles`` mesh, or a 2D ``(tiles, table)`` mesh when
-    ``n_table > 1`` (city-scale: tiles scale out, each tile's hash table
-    + Adam moments shard ``n_table``-way along H)."""
+def make_tile_mesh(devices=None, n_table: int = 1, n_rays: int = 1) -> Mesh:
+    """``tiles`` mesh, optionally extended by a ``rays`` axis (per-tile
+    ray-batch data parallelism — parallel/ray_parallel.py semantics:
+    every rays replica draws an independent batch and gradients pmean)
+    and/or a ``table`` axis (each tile's hash table + Adam moments shard
+    ``n_table``-way along H). Axis order (tiles, rays, table) keeps the
+    table psum innermost (most traffic -> nearest neighbors on ICI)."""
     devices = np.array(devices if devices is not None else jax.devices())
+    axes = [("tiles", devices.size // (n_table * n_rays))]
+    if n_rays > 1:
+        axes.append(("rays", n_rays))
     if n_table > 1:
-        assert devices.size % n_table == 0, (devices.size, n_table)
-        return Mesh(
-            devices.reshape(devices.size // n_table, n_table),
-            ("tiles", "table"),
-        )
-    return Mesh(devices, ("tiles",))
+        axes.append(("table", n_table))
+    assert devices.size == int(np.prod([n for _, n in axes])), (
+        devices.size, axes)
+    if len(axes) == 1:
+        return Mesh(devices, ("tiles",))
+    return Mesh(
+        devices.reshape([n for _, n in axes]), tuple(n for n, _ in axes)
+    )
 
 
 def _is_table_leaf(x, feat_shape) -> bool:
@@ -122,7 +130,21 @@ def build_admm_round(
     psums features over ``table`` (models/field.py), while gradients and
     Adam moments for the table stay shard-local — no table gradient
     communication, 1/n_table memory per device.
+
+    With a ``rays`` axis (``make_tile_mesh(n_rays=...)``) each replica
+    along it draws an independent batch (key folded by the rays index)
+    and every inner step pmeans gradients over the axis before the
+    replica-identical optimizer update — the effective per-tile batch is
+    ``n_rays * 2**batch_log2`` (parallel/ray_parallel.py, for when chips
+    outnumber tiles; the reference can only scale a tile's batch by a
+    bigger GPU, admm_trainer.py:187-270).
     """
+    grad_axis = "rays" if "rays" in mesh.axis_names else None
+    if grad_axis is not None:
+        assert tc.ray_shards == mesh.shape["rays"], (
+            tc.ray_shards, dict(mesh.shape))
+    else:
+        assert tc.ray_shards == 1, tc.ray_shards
 
     def one_tile_steps(
         state: TrainState, data: TileData, key: jax.Array, conf0: jax.Array
@@ -131,7 +153,7 @@ def build_admm_round(
             state, _, conf = carry
             k = jax.random.fold_in(key, i)
             new_state, aux = tile_lib.train_step.__wrapped__(
-                state, data, k, tc, tx
+                state, data, k, tc, tx, grad_axis=grad_axis
             )
             # confidence EMA (tile.py:360): conf = 0.9*conf + 0.1*score
             new_conf = 0.9 * conf + 0.1 * aux["confidence_score"]
@@ -145,6 +167,10 @@ def build_admm_round(
     def shard_fn(tiles: ParallelTiles, data: TileData, key: jax.Array):
         # local shapes: [T_local, ...]
         T_local = tiles.cam_map.shape[0]
+        if grad_axis is not None:
+            # independent batches per rays replica; grads pmean inside
+            # train_step keeps the replicas bit-identical
+            key = jax.random.fold_in(key, jax.lax.axis_index(grad_axis))
         tile_ids = jax.lax.axis_index("tiles") * T_local + jnp.arange(T_local)
         keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(tile_ids)
 

@@ -108,6 +108,10 @@ class TrainConfig:
     # shard_map over a mesh with a "table" axis of this size
     # (tile_parallel.make_mesh(n_table=...)).
     table_shards: int = 1
+    # >1 replicates each tile over a "rays" mesh axis for ray-batch data
+    # parallelism (parallel/ray_parallel.py): independent batches per
+    # replica, gradients pmean'd — effective batch n_rays * 2**batch_log2
+    ray_shards: int = 1
     # backward one-hot scatter in bf16 with f32 accumulation (windowed
     # backend; ops/pallas/hash_encode._bwd_kernel) — only the per-point
     # weighted-gradient operand rounds (2^-8 relative)
@@ -158,6 +162,7 @@ class TrainConfig:
             cam_start_steps=T.CAMOPT.START_STEPS,
             hash_backend=T.get("HASH_BACKEND", "windowed"),
             table_shards=T.get("TABLE_SHARDS", 1),
+            ray_shards=T.get("RAY_SHARDS", 1),
             hash_bwd_bf16=T.get("HASH_BWD_BF16", False),
             fused_decoder=T.get("FUSED_DECODER", True),
             permute_mode=T.get("PERMUTE_MODE", "sort"),
@@ -494,18 +499,13 @@ def sample_patches(key: jax.Array, H: int, W: int, num_patch: int):
     return ray_idx, pixel_locs
 
 
-# donate the state: without it the old AND new TrainState (hash table +
-# both Adam moments = 3 table-sized buffers) are live simultaneously,
-# which is what keeps the reference-default 2^24 tables from fitting a
-# 16G chip
-@partial(jax.jit, static_argnames=("tc", "tx"), donate_argnames=("state",))
-def train_step(
-    state: TrainState,
-    data: TileData,
-    key: jax.Array,
-    tc: TrainConfig,
-    tx: optax.GradientTransformation,
-) -> tuple[TrainState, dict]:
+def compute_grads(
+    state: TrainState, data: TileData, key: jax.Array, tc: TrainConfig
+):
+    """Sample a ray batch and return ``((loss, aux), grads)`` — the
+    differentiation half of ``train_step``, split out so ray-data-parallel
+    wrappers (parallel/ray_parallel.py) and tests can average gradients
+    across batch shards before the optimizer update."""
     N_cam, H, W = data.images.shape[:3]
     num_rays = (2**tc.batch_log2) // N_cam
     num_patch = max(num_rays // 4, 1)
@@ -520,7 +520,35 @@ def train_step(
             state.step, tc,
         )
 
-    (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+    return jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+
+
+# donate the state: without it the old AND new TrainState (hash table +
+# both Adam moments = 3 table-sized buffers) are live simultaneously,
+# which is what keeps the reference-default 2^24 tables from fitting a
+# 16G chip
+@partial(
+    jax.jit,
+    static_argnames=("tc", "tx", "grad_axis"),
+    donate_argnames=("state",),
+)
+def train_step(
+    state: TrainState,
+    data: TileData,
+    key: jax.Array,
+    tc: TrainConfig,
+    tx: optax.GradientTransformation,
+    grad_axis: str | None = None,
+) -> tuple[TrainState, dict]:
+    # grad_axis: mesh axis name for ray data parallelism — gradients (and
+    # aux metrics) are pmean'd over it before the replica-identical
+    # optimizer update (see parallel/ray_parallel.py)
+    (loss, aux), grads = compute_grads(state, data, key, tc)
+    if grad_axis is not None:
+        grads = jax.lax.pmean(grads, grad_axis)
+        aux = jax.tree_util.tree_map(
+            lambda x: jax.lax.pmean(x, grad_axis), aux
+        )
     updates, new_opt = tx.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
     new_state = state.replace(

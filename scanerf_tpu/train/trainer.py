@@ -278,7 +278,8 @@ class Trainer:
             syn = max(min(total, eval_step, round_cap), 1)
 
         mesh = tp.make_tile_mesh(
-            self.mesh_devices, n_table=self.tc.table_shards
+            self.mesh_devices, n_table=self.tc.table_shards,
+            n_rays=self.tc.ray_shards,
         )
         self.mesh = mesh
         # pad tile count to a multiple of the TILE-axis size (the table
@@ -567,11 +568,21 @@ class Trainer:
             for j, v in enumerate(self.view_lists[i]):
                 shared_avg[v] += se3[j]
                 counts[v] += 1
-        # refined_camera.log (admm_trainer.py:182-184)
+        # refined_camera.log (admm_trainer.py:182-184). Documented fix
+        # over the reference: training poses are exp(refine) o exp(noise)
+        # o ori (camera_utils.py:56 applies the noise table to the base),
+        # but admm_trainer.py:182 writes exp(refine) o ori — under
+        # injected noise the log misaligns from the trained geometry by
+        # exactly the noise (measured -3.5 dB on the 8-tile city render,
+        # PERF.md). Compose the known noise in; zero noise reduces to the
+        # reference composition bit-for-bit.
         shared_avg /= np.maximum(counts, 1)[:, None]
         ori_rts = lie.invert(jnp.asarray(self.c2ws_all))
+        base_rts = lie.compose(
+            [lie.se3_to_SE3(jnp.asarray(self.noise_table)), ori_rts]
+        )
         refined_rts = lie.compose(
-            [lie.se3_to_SE3(jnp.asarray(shared_avg)), ori_rts]
+            [lie.se3_to_SE3(jnp.asarray(shared_avg)), base_rts]
         )
         refined_c2ws = np.asarray(lie.invert(refined_rts))
         data_io.write_campara(

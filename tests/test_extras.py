@@ -108,3 +108,25 @@ def test_city_scene_dir(tmp_path):
     scene = data_io.load_scene(d, views[0][:3], mono_depth=True)
     assert scene.images.shape == (3, 24, 24, 3)
     assert scene.mono_depths.max() <= 10.0
+
+
+def test_ssim_bounded_and_identity():
+    # regression: an out-of-range render (accumulation overshoot in
+    # unobserved regions) produced "SSIM" 1.41 before metrics clipped
+    # pred and floored the variance estimates (saved-image protocol)
+    from scanerf_tpu.utils import metrics
+
+    rng = np.random.RandomState(0)
+    gt = rng.rand(32, 32, 3).astype(np.float32)
+    wild = (gt + rng.randn(32, 32, 3).astype(np.float32) * 5.0)
+    s = float(metrics.ssim(jnp.asarray(wild), jnp.asarray(gt)))
+    assert -1.0 <= s <= 1.0
+    s_id = float(metrics.ssim(jnp.asarray(gt), jnp.asarray(gt)))
+    assert s_id > 0.999
+    # psnr clips pred the same way: overshoot must not beat the clipped
+    # version of itself
+    p_wild = float(metrics.psnr(jnp.asarray(wild), jnp.asarray(gt)))
+    p_clip = float(
+        metrics.psnr(jnp.asarray(np.clip(wild, 0, 1)), jnp.asarray(gt))
+    )
+    assert abs(p_wild - p_clip) < 1e-4
