@@ -44,7 +44,7 @@ def _kernel(off_ref, src_hbm, out_ref, scratch, sem, *, K,
         # serial variant below measures it exposed, the worst case)
         dmas = []
         for k in range(K):
-            start = off_ref[0, k]
+            start = off_ref[0, 0, k]
             dma = pltpu.make_async_copy(
                 src_hbm.at[pl.ds(start, rows), :],
                 scratch.at[pl.ds(k * rows, rows), :],
@@ -56,7 +56,7 @@ def _kernel(off_ref, src_hbm, out_ref, scratch, sem, *, K,
             dma.wait()
     else:
         for k in range(K):
-            start = off_ref[0, k]
+            start = off_ref[0, 0, k]
             dma = pltpu.make_async_copy(
                 src_hbm.at[pl.ds(start, rows), :],
                 scratch.at[pl.ds(k * rows, rows), :],
@@ -71,13 +71,17 @@ def _kernel(off_ref, src_hbm, out_ref, scratch, sem, *, K,
 def build(K, NC, N, overlap=False):
     rng = np.random.RandomState(K)
     rows = CHUNK // K
-    offs = rng.randint(0, N - rows, size=(NC, K)).astype(np.int32)
+    offs = rng.randint(0, N - rows, size=(NC, 1, K)).astype(np.int32)
+    # Mosaic requires the last two block dims be (8k, 128k) or equal to
+    # the array dims — replicate offsets over an 8-sublane axis so the
+    # (1, 8, K) block is legal in SMEM.
+    offs = np.repeat(offs, 8, axis=1)
 
     f = pl.pallas_call(
         functools.partial(_kernel, K=K, overlap=overlap),
         grid=(NC,),
         in_specs=[
-            pl.BlockSpec((1, K), lambda c: (c, 0),
+            pl.BlockSpec((1, 8, K), lambda c: (c, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
