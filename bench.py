@@ -21,6 +21,7 @@ where value is the FULL-RECIPE rays/sec and vs_baseline is value / 5e6
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -130,7 +131,7 @@ def measure(tc_kwargs, n_steps=10, fuse=False):
     return rays_per_step * n_steps / dt
 
 
-def _wait_for_backend(max_wait_s=1500, probe_timeout_s=180):
+def _wait_for_backend(max_wait_s, probe_timeout_s=120):
     """The axon tunnel goes UNAVAILABLE for tens of minutes after an
     abandoned server-side compile (PERF.md fabric notes). Probe backend
     init in a SUBPROCESS (a wedged init can hang >20 min; the parent
@@ -145,10 +146,14 @@ def _wait_for_backend(max_wait_s=1500, probe_timeout_s=180):
     )
     deadline = time.monotonic() + max_wait_s
     while True:
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            return False
         try:
             r = subprocess.run(
                 [sys.executable, "-c", code],
-                timeout=probe_timeout_s, capture_output=True,
+                timeout=min(probe_timeout_s, max(remaining, 5)),
+                capture_output=True,
             )
             if r.returncode == 0:
                 return True
@@ -157,32 +162,87 @@ def _wait_for_backend(max_wait_s=1500, probe_timeout_s=180):
         if time.monotonic() >= deadline:
             return False
         print("bench: TPU backend unavailable, retrying...", file=sys.stderr)
-        time.sleep(60)
+        time.sleep(30)
+
+
+def _fallback_line(reason):
+    """The most recent real-chip measurement (written on every successful
+    run, by main --measure AND by chip-worklist bench runs mid-round),
+    clearly marked as stale — it IS a genuine measurement of this repo
+    on the real chip, just made earlier in the round. BENCH_PARTIAL.json
+    (written phase-by-phase by an interrupted --measure child) wins over
+    the cache when it is newer."""
+    out = None
+    for path in ("BENCH_PARTIAL.json", "BENCH_CHIP_CACHE.json"):
+        try:
+            with open(os.path.join(_REPO, path)) as f:
+                cand = json.load(f)
+            if cand.get("value") and (
+                out is None
+                or cand.get("measured_at", "") > out.get("measured_at", "")
+            ):
+                out = cand
+        except Exception:
+            continue
+    if out is None:
+        out = {
+            "metric": "training_rays_per_sec_full_recipe",
+            "value": 0.0,
+            "unit": "rays/s",
+            "vs_baseline": 0.0,
+        }
+    out["stale"] = "replayed_cached_chip_measurement"
+    out["error"] = reason
+    return out
 
 
 def main():
-    if not _wait_for_backend():
-        # The axon tunnel can stay down for >10 h (observed 2026-08-17).
-        # Rather than record 0.0 for the round, replay the most recent
-        # real-chip measurement (written by main() below on every
-        # successful run) clearly marked as stale — it IS a genuine
-        # measurement of this repo state on the real chip, just made
-        # earlier in the round by a chip worklist.
-        try:
-            with open("BENCH_CHIP_CACHE.json") as f:
-                out = json.load(f)
-            out["stale"] = "replayed_cached_chip_measurement"
-            out["error"] = "tpu_backend_unavailable_at_bench_time"
-        except Exception:
-            out = {
-                "metric": "training_rays_per_sec_full_recipe",
-                "value": 0.0,
-                "unit": "rays/s",
-                "vs_baseline": 0.0,
-                "error": "tpu_backend_unavailable",
-            }
-        print(json.dumps(out))
+    """Driver entry. GUARANTEE: one JSON line on stdout within
+    BENCH_BUDGET_S seconds (default 1500) no matter what the fabric
+    does — round 3's driver run was killed by an external timeout while
+    a post-outage compile dragged on, and the round recorded null.
+    The measurement itself runs in a watchdogged child (--measure);
+    on child timeout/crash the freshest of its phase-partial output or
+    the last chip cache is replayed, marked stale."""
+    import subprocess
+
+    t0 = time.monotonic()
+    budget = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+    reserve = 15.0  # always leave room to print the fallback line
+
+    if not _wait_for_backend(max_wait_s=min(300.0, budget / 3)):
+        print(json.dumps(_fallback_line("tpu_backend_unavailable")))
         return
+    try:
+        os.unlink(os.path.join(_REPO, "BENCH_PARTIAL.json"))
+    except OSError:
+        pass
+    remaining = budget - (time.monotonic() - t0) - reserve
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--measure"],
+            timeout=max(remaining, 30), capture_output=True, text=True,
+        )
+        sys.stderr.write(r.stderr[-4000:])
+        line = None
+        for ln in reversed(r.stdout.splitlines()):
+            ln = ln.strip()
+            if ln.startswith("{"):
+                line = ln
+                break
+        if r.returncode == 0 and line is not None:
+            json.loads(line)  # validate before relaying
+            print(line)
+            return
+        reason = f"measure_child_rc_{r.returncode}"
+    except subprocess.TimeoutExpired:
+        reason = "measure_child_timeout"
+    except Exception as e:  # pragma: no cover - defensive
+        reason = f"measure_child_{type(e).__name__}"
+    print(json.dumps(_fallback_line(reason)))
+
+
+def _measure_main():
     # the fused hash+MLP training kernels are the default; if their
     # compile fails on this fabric (Mosaic rejections only surface on
     # real-chip compiles), fall back to the unfused windowed path so the
@@ -203,6 +263,13 @@ def main():
             dict(w_warp=0.0, w_depth=0.0, w_smooth=0.0, rho=0.0,
                  fused_decoder=False)
         )
+    _write_partial({
+        "metric": "training_rays_per_sec_rgb_only",
+        "value": round(rgb_only, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rgb_only / 5e6, 4),
+        "fused_decoder": fused,
+    })
     # reference config/default.yaml LOSS block + RHO. The attached
     # fabric occasionally wedges mid-session (PERF.md); if the second,
     # larger compile dies, still report the rgb-only measurement so the
@@ -236,14 +303,34 @@ def main():
         out_cache = dict(out)
         out_cache["measured_at"] = time.strftime(
             "%Y-%m-%dT%H:%M:%SZ", time.gmtime())
-        with open("BENCH_CHIP_CACHE.json", "w") as f:
+        with open(os.path.join(_REPO, "BENCH_CHIP_CACHE.json"), "w") as f:
             json.dump(out_cache, f)
     except Exception:
         pass
     print(json.dumps(out))
 
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _write_partial(out):
+    """Phase-complete partial result; replayed by the parent watchdog if
+    a later, bigger compile is what blows the budget."""
+    try:
+        out = dict(out)
+        out["measured_at"] = time.strftime(
+            "%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        out["partial"] = True
+        with open(os.path.join(_REPO, "BENCH_PARTIAL.json"), "w") as f:
+            json.dump(out, f)
+    except Exception:
+        pass
+
+
 if __name__ == "__main__":
-    main()
+    if "--measure" in sys.argv[1:]:
+        _measure_main()
+    else:
+        main()
 
 
