@@ -40,6 +40,7 @@ from scanerf_tpu.ops.pallas.hash_encode import (
     W,
     WB,
     WIN_SUB,
+    _accum_reduce,
     _corner_accum,
     _corner_setup,
     _deinterleave_window,
@@ -230,6 +231,7 @@ def _fused_kernel(res_ref, meta_ref, pts_ref, feat_hbm, dp_hbm,
     wmins = [meta_ref[0, t, 1] for t in range(SUBT)]
     spans = [meta_ref[0, t, 2] for t in range(SUBT)]
     wbase = meta_ref[0, 0, 3]
+    iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
 
     # STATIC level loop: the feature rows are carried in registers and
     # concatenated (a [2L, CHUNK] scratch would need a dynamic-sublane
@@ -244,16 +246,17 @@ def _fused_kernel(res_ref, meta_ref, pts_ref, feat_hbm, dp_hbm,
             wmin_t = wmins[t]
             span_t = spans[t]
 
-            def k_body(k, carry, slot=slot, w8=w8, widf_t=widf_t,
+            def k_body(k, acc8, slot=slot, w8=w8, widf_t=widf_t,
                        wmin_t=wmin_t, l=l):
                 w = wmin_t + k
                 wl = w - wbase - boc * WB
                 win_d = slab_d[l, pl.ds(wl * WIN_SUB, WIN_SUB), :]
                 mt = (widf_t == w.astype(jnp.float32)).astype(jnp.float32)
-                return _corner_accum(win_d, slot, w8, mt, carry)
+                return _corner_accum(win_d, slot, w8, mt, iota8, acc8)
 
-            zero = jnp.zeros((1, 128), jnp.float32)
-            s0, s1 = jax.lax.fori_loop(0, span_t, k_body, (zero, zero))
+            acc8 = jax.lax.fori_loop(
+                0, span_t, k_body, jnp.zeros((8, 128), jnp.float32))
+            s0, s1 = _accum_reduce(acc8)
             subt_rows.append((s0, s1))
         f0 = jnp.concatenate([r[0] for r in subt_rows], axis=1)  # [1,CHUNK]
         f1 = jnp.concatenate([r[1] for r in subt_rows], axis=1)
@@ -289,7 +292,7 @@ def hash_decode_fused(
         grid=(NC,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # resolutions
-            pl.BlockSpec((1, 8, 4), lambda c: (c, 0, 0),
+            pl.BlockSpec((1, SUBT, 4), lambda c: (c, 0, 0),
                          memory_space=pltpu.SMEM),  # meta (+tid in [1,3])
             pl.BlockSpec((1, 8, CHUNK), lambda c: (c, 0, 0),
                          memory_space=pltpu.VMEM),

@@ -63,6 +63,7 @@ from scanerf_tpu.ops.pallas.hash_encode import (
     WB,
     WIN_SUB,
     SortedStream,
+    _accum_reduce,
     _corner_accum,
     _corner_bwd_accum,
     _corner_setup,
@@ -160,6 +161,7 @@ def _ft_fwd_kernel(res_ref, meta_ref, pts_ref, feat_hbm, pslab_ref,
     wmins = [meta_ref[0, t, 1] for t in range(SUBT)]
     spans = [meta_ref[0, t, 2] for t in range(SUBT)]
     wbase = meta_ref[0, 0, 3]
+    iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
 
     # STATIC level loop (fused_render pattern): rows ride registers into
     # the decoder; the per-level stores double as the VJP residual
@@ -173,16 +175,17 @@ def _ft_fwd_kernel(res_ref, meta_ref, pts_ref, feat_hbm, pslab_ref,
             wmin_t = wmins[t]
             span_t = spans[t]
 
-            def k_body(k, carry, slot=slot, w8=w8, widf_t=widf_t,
+            def k_body(k, acc8, slot=slot, w8=w8, widf_t=widf_t,
                        wmin_t=wmin_t, l=l):
                 w = wmin_t + k
                 wl = w - wbase - boc * WB
                 win_d = slab_d[l, pl.ds(wl * WIN_SUB, WIN_SUB), :]
                 mt = (widf_t == w.astype(jnp.float32)).astype(jnp.float32)
-                return _corner_accum(win_d, slot, w8, mt, carry)
+                return _corner_accum(win_d, slot, w8, mt, iota8, acc8)
 
-            zero = jnp.zeros((1, 128), jnp.float32)
-            s0, s1 = jax.lax.fori_loop(0, span_t, k_body, (zero, zero))
+            acc8 = jax.lax.fori_loop(
+                0, span_t, k_body, jnp.zeros((8, 128), jnp.float32))
+            s0, s1 = _accum_reduce(acc8)
             feats_ref[0, l, 0:1, sl] = s0
             feats_ref[0, l, 1:2, sl] = s1
             subt_rows.append((s0, s1))
@@ -314,7 +317,7 @@ def _run_fwd(stream: SortedStream, features, resolutions, pslab):
         grid=(NC,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # resolutions [L, 3]
-            pl.BlockSpec((1, 8, 4), lambda c: (c, 0, 0),
+            pl.BlockSpec((1, SUBT, 4), lambda c: (c, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 8, CHUNK), lambda c: (c, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -355,7 +358,7 @@ def _run_bwd(stream: SortedStream, features, resolutions, pslab, feats,
         grid=(NC,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 8, 4), lambda c: (c, 0, 0),
+            pl.BlockSpec((1, SUBT, 4), lambda c: (c, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 8, CHUNK), lambda c: (c, 0, 0),
                          memory_space=pltpu.VMEM),

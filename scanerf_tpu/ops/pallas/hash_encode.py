@@ -129,7 +129,16 @@ def _gather_mode() -> bool:
 
 W = 512  # entries per window (one 8x128 f32 vreg of interleaved feats)
 WB = 32  # windows per block (slab unit)
-CHUNK = 1024  # points per grid step
+# Points per grid step. Larger chunks amortize the per-grid-step Pallas
+# pipeline overhead over more points at the cost of more block-aligned
+# padding (pad rows <= NB*CHUNK, ~3% of a 4.2M stream at 1024) and a
+# proportionally larger per-chunk pts/out VMEM footprint (the 4 MB table
+# slab dominates either way). Read once at import; a per-fabric A/B
+# knob (scripts/bench_chunk_ab.py), NOT switchable mid-process — every
+# module-level consumer (fused_train/fused_render/renderer) binds it at
+# import time.
+CHUNK = int(os.environ.get("SCANERF_CHUNK", "1024"))
+assert CHUNK % 128 == 0 and CHUNK > 0, CHUNK
 SUBT = CHUNK // 128  # lane subtiles per chunk
 WIN_SUB = W * 2 // 128  # sublane rows per window (8)
 BLOCK_SUB = WB * WIN_SUB  # sublane rows per block slab (256)
@@ -254,7 +263,7 @@ class SortedStream:
     """Padded, window-sorted point stream (arrays only; see sort_pack)."""
 
     pts: jax.Array  # [NC, 8, CHUNK] f32: rows u0 u1 u2 widf d0 d1 d2 0
-    meta: jax.Array  # [NC, 8, 4] i32: (boc, wmin, span, 0) per chunk
+    meta: jax.Array  # [NC, SUBT, 4] i32: (boc, wmin, span, 0) per chunk
     pidp: jax.Array  # [Np] i32 original point index (N for pad rows)
     inv_full: jax.Array  # None ("sort" mode) | [N] i32 padded position
     # of each original row ("gather" mode, computed by sort_pack)
@@ -876,19 +885,33 @@ def _win_gather2(win_d, lane, sub):
     return f0, f1
 
 
-def _corner_accum(win_d, slot, w8, mt, carry):
-    """One window's 8-corner gather-accumulate of (f0, f1) into the
-    (s0, s1) carry. Shared by ``_fwd_kernel`` here and the fused
-    training forward (ops/pallas/fused_train.py) — any change to the
-    corner gather must stay identical in both kernel families."""
-    s0, s1 = carry
+def _corner_accum(win_d, slot, w8, mt, iota8, acc8):
+    """One window's 8-corner gather-accumulate into an (8, 128)
+    LAYOUT-ROW accumulator (rows 0-3: f0 at sublane r, rows 4-7: f1),
+    reduced to (f0, f1) rows once per subtile by ``_accum_reduce``.
+
+    Accumulating at full vreg width instead of the old per-corner
+    (1, 128) select tree (see ``_win_gather2``, still used by the
+    backward regather) roughly halves the per-corner VPU op count:
+    gather + 3-op row mask + masked multiply-add, vs gather + 9-op
+    select tree + 4 row ops. Shared by ``_fwd_kernel`` here and the
+    fused forwards (ops/pallas/fused_train.py, fused_render.py) — any
+    change to the corner gather must stay identical in all three."""
     for cc in range(8):
         lane = slot[cc:cc + 1, :] & 127
-        sub = slot[cc:cc + 1, :] >> 7
+        sub8 = jnp.broadcast_to(slot[cc:cc + 1, :] >> 7, (8, 128))
         wmc = w8[cc:cc + 1, :] * mt
-        f0, f1 = _win_gather2(win_d, lane, sub)
-        s0 = s0 + wmc * f0
-        s1 = s1 + wmc * f1
+        d = jnp.take_along_axis(
+            win_d, jnp.broadcast_to(lane, (8, 128)), axis=1)
+        m8 = (iota8 == sub8) | (iota8 == sub8 + 4)
+        acc8 = acc8 + jnp.where(m8, d * wmc, 0.0)
+    return acc8
+
+
+def _accum_reduce(acc8):
+    """(8,128) layout-row accumulator -> ((1,128) f0, (1,128) f1)."""
+    s0 = acc8[0:1, :] + acc8[1:2, :] + acc8[2:3, :] + acc8[3:4, :]
+    s1 = acc8[4:5, :] + acc8[5:6, :] + acc8[6:7, :] + acc8[7:8, :]
     return s0, s1
 
 
@@ -903,10 +926,13 @@ def _corner_bwd_accum(win_d, slot, w8, aux, mt, g0t, g1t, iota8, iota128,
     ``onehot_bf16``: build the scatter's one-hot matrix and per-point
     weighted-gradient operand in bf16 (accumulation stays f32 via the
     dot's preferred_element_type). The one-hot is built in f32 and CAST
-    (Mosaic cannot relayout an i1 mask straight into bf16 packing); it
-    is exact in bf16 (0/1) — only the ``a`` operand rounds (2^-8
-    relative). The one-hot CONSTRUCTION dominates the backward's VPU
-    work; bf16 halves its vreg count and doubles the MXU rate."""
+    — a NATIVE bf16 construction (bf16 iota/lane compare) was tried in
+    round 4 and Mosaic rejects the vector<...xbf16> cmpf on real-chip
+    compile ("additional diagnostics skipped"), so the cast stays; it
+    is exact in bf16 (0/1) and only the ``a`` operand rounds (2^-8
+    relative). With the construction stuck in f32 the variant is
+    throughput-neutral (measured round 3) and remains an option, not
+    the default."""
     du0, du1, du2 = carry
     wx, wy, wz, sx, sy, sz, rx, ry, rz = aux
     dwin = jnp.zeros((8, 128), jnp.float32)
@@ -977,6 +1003,7 @@ def _fwd_kernel(res_ref, meta_ref, pts_ref, feat_hbm, out_ref,
     # global window id of the feature shard's window 0 (table-parallel:
     # each device holds a contiguous block range; 0 when unsharded)
     wbase = meta_ref[0, 0, 3]
+    iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
 
     def level_body(l, _):
         for t in range(SUBT):  # static: sequencer iteration cost dominates
@@ -986,16 +1013,17 @@ def _fwd_kernel(res_ref, meta_ref, pts_ref, feat_hbm, out_ref,
             wmin_t = wmins[t]
             span_t = spans[t]
 
-            def k_body(k, carry, slot=slot, w8=w8, widf_t=widf_t,
+            def k_body(k, acc8, slot=slot, w8=w8, widf_t=widf_t,
                        wmin_t=wmin_t):
                 w = wmin_t + k
                 wl = w - wbase - boc * WB
                 win_d = slab_d[l, pl.ds(wl * WIN_SUB, WIN_SUB), :]  # (8,128)
                 mt = (widf_t == w.astype(jnp.float32)).astype(jnp.float32)
-                return _corner_accum(win_d, slot, w8, mt, carry)
+                return _corner_accum(win_d, slot, w8, mt, iota8, acc8)
 
-            zero = jnp.zeros((1, 128), jnp.float32)
-            s0, s1 = jax.lax.fori_loop(0, span_t, k_body, (zero, zero))
+            acc8 = jax.lax.fori_loop(
+                0, span_t, k_body, jnp.zeros((8, 128), jnp.float32))
+            s0, s1 = _accum_reduce(acc8)
             out_ref[0, l, 0:1, sl] = s0
             out_ref[0, l, 1:2, sl] = s1
         return ()
@@ -1125,7 +1153,7 @@ def _run_fwd(stream: SortedStream, features, resolutions):
         grid=(NC,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # resolutions [L, 3]
-            pl.BlockSpec((1, 8, 4), lambda c: (c, 0, 0),
+            pl.BlockSpec((1, SUBT, 4), lambda c: (c, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 8, CHUNK), lambda c: (c, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -1162,7 +1190,7 @@ def _run_bwd(stream: SortedStream, features, resolutions, g_sorted,
         grid=(NC,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 8, 4), lambda c: (c, 0, 0),
+            pl.BlockSpec((1, SUBT, 4), lambda c: (c, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 8, CHUNK), lambda c: (c, 0, 0),
                          memory_space=pltpu.VMEM),
