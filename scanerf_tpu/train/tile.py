@@ -68,11 +68,14 @@ class TrainConfig:
     # training sample counts — at K=10 that is 10x the main render).
     # The re-render only feeds the soft visibility/diffuseness gates
     # (exp(-alpha*|dz|/voxel)), so a coarser march is PSNR-neutral while
-    # cutting the warp-step overhead ~4x (PERF.md). Set equal to
-    # num_sample/num_bg_sample/num_march for exact reference parity.
-    warp_vis_sample: int = 32
-    warp_vis_bg_sample: int = 32
-    warp_vis_march: int = 128
+    # cutting the warp-step overhead (PERF.md round-4 warp A/B: 16/8/64
+    # is +10.7% full-recipe throughput with 600-step quality curves
+    # identical to 32/32/128 — PSNR within 0.002 dB, pose within
+    # 0.001 deg). Set equal to num_sample/num_bg_sample/num_march for
+    # exact reference parity.
+    warp_vis_sample: int = 16
+    warp_vis_bg_sample: int = 8
+    warp_vis_march: int = 64
     rho: float = 0.0
     syn_start: int = 0
     invalid_underground: bool = False
@@ -168,9 +171,10 @@ class TrainConfig:
             permute_mode=T.get("PERMUTE_MODE", "sort"),
             run_cap_frac=T.get("RUN_CAP_FRAC", 0.25),
             stochastic_hash_grad=T.get("STOCHASTIC_HASH_GRAD", False),
-            warp_vis_sample=L.get("WARP_VIS_SAMPLE", 32),
-            warp_vis_bg_sample=L.get("WARP_VIS_BG_SAMPLE", 32),
-            warp_vis_march=L.get("WARP_VIS_MARCH", 128),
+            warp_vis_sample=L.get("WARP_VIS_SAMPLE", 16),
+            warp_vis_bg_sample=L.get("WARP_VIS_BG_SAMPLE", 8),
+            warp_vis_march=L.get("WARP_VIS_MARCH", 64),
+            warp_top_k=L.get("WARP_TOP_K", 10),
         )
 
 
