@@ -112,10 +112,19 @@ def main():
         print(open(mpath).read(), flush=True)
 
     # the number this script exists for: exported-scene renderer PSNR
-    # vs the final in-training eval PSNR (embedded in eval PNG names as
-    # eval-tile{t}-{step}-{psnr}-{ssim}.png)
+    # vs the final in-training eval PSNR on the SAME per-tile test
+    # views (r4a compared against unrelated training views 0-5 and
+    # reported a misleading -3.54 dB; the matched-view comparison on
+    # the same run gave -0.39 dB, scripts/quality_gap_city.py)
     import glob
     import re
+
+    import cv2
+    import jax.numpy as jnp
+
+    from scanerf_tpu.data import io as data_io
+    from scanerf_tpu.render import renderer as renderer_lib
+    from scanerf_tpu.utils import metrics
 
     evals = {}
     for f in glob.glob(os.path.join(trainer.logdir, "eval-tile*.png")):
@@ -125,18 +134,41 @@ def main():
             t, s, psnr = int(m.group(1)), int(m.group(2)), float(m.group(3))
             if t not in evals or s > evals[t][0]:
                 evals[t] = (s, psnr)
-    if evals and os.path.exists(mpath):
-        train_psnr = float(np.mean([p for _, p in evals.values()]))
-        last = [ln for ln in open(mpath).read().splitlines()
-                if ln.startswith("mean")]
-        if last:
-            render_psnr = float(last[-1].split()[2])
-            print(
-                f"QUALITY-GAP train-eval PSNR {train_psnr:.2f} vs "
-                f"standalone-render PSNR {render_psnr:.2f} "
-                f"(delta {render_psnr - train_psnr:+.2f} dB)",
-                flush=True,
-            )
+    test = {}
+    with open(os.path.join(scene_dir, "blocks", "test.txt")) as f:
+        for line in f:
+            t, v = line.split()
+            test[int(t)] = int(v)
+    scene = renderer_lib.load_scene(
+        sorted(glob.glob(os.path.join(trainer.logdir, "tile-*"))))
+    ks, c2ws, H, W = data_io.read_campara(
+        os.path.join(trainer.logdir, "refined_camera.log"),
+        return_shape=True)
+    deltas = []
+    for t in sorted(test):
+        if t not in evals:
+            continue
+        v = test[t]
+        out = renderer_lib.render_image(
+            scene, ks[v], c2ws[v], H, W,
+            num_sample=cfg["TRAINING"]["NUM_SAMPLE"],
+            num_bg_sample=cfg["TRAINING"]["NUM_BG_SAMPLE"],
+        )
+        gt = cv2.imread(
+            os.path.join(scene_dir, "images", f"{v}.png")
+        ).astype(np.float32) / 255.0
+        p = float(metrics.psnr(jnp.asarray(out["rgb"]), jnp.asarray(gt)))
+        deltas.append(p - evals[t][1])
+        print(f"tile {t} test view {v}: standalone {p:.2f} vs "
+              f"train-eval {evals[t][1]:.2f} ({p - evals[t][1]:+.2f} dB)",
+              flush=True)
+    if deltas:
+        print(
+            f"QUALITY-GAP (matched test views): standalone-render vs "
+            f"train-eval mean delta {np.mean(deltas):+.2f} dB over "
+            f"{len(deltas)} tiles",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":
