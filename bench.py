@@ -172,15 +172,18 @@ def _fallback_line(reason):
     on the real chip, just made earlier in the round. BENCH_PARTIAL.json
     (written phase-by-phase by an interrupted --measure child) wins over
     the cache when it is newer."""
+    def rank(c):
+        # a full-recipe record (the headline metric) beats an rgb-only
+        # phase partial regardless of age; recency breaks ties
+        return ("full_recipe" in c.get("metric", ""),
+                c.get("measured_at", ""))
+
     out = None
     for path in ("BENCH_PARTIAL.json", "BENCH_CHIP_CACHE.json"):
         try:
             with open(os.path.join(_REPO, path)) as f:
                 cand = json.load(f)
-            if cand.get("value") and (
-                out is None
-                or cand.get("measured_at", "") > out.get("measured_at", "")
-            ):
+            if cand.get("value") and (out is None or rank(cand) > rank(out)):
                 out = cand
         except Exception:
             continue
