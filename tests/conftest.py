@@ -35,3 +35,21 @@ if os.environ.get("SCANERF_COMPILE_CACHE"):
     jax.config.update("jax_compilation_cache_dir", "/tmp/scanerf_jax_cache")
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+def pytest_collection_modifyitems(config, items):
+    """Run the big shard_map compile suites FIRST (see the SIGSEGV note
+    above): the crash reproduces only when test_trainer_e2e's later
+    compiles land after ~an hour of accumulated CPU compiles, and never
+    in a fresh process — fronting them keeps the full-suite gate off
+    the fragile path without hiding any test."""
+    front = ("test_trainer_e2e", "test_table_parallel")
+
+    def key(item):
+        name = os.path.basename(str(item.fspath))
+        for i, f in enumerate(front):
+            if name.startswith(f):
+                return (i, name)
+        return (len(front), name)
+
+    items.sort(key=key)
