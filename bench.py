@@ -165,6 +165,21 @@ def _wait_for_backend(max_wait_s, probe_timeout_s=120):
         time.sleep(30)
 
 
+def _git_rev():
+    """HEAD rev at measurement time — cached chip records get replayed
+    across commits, and a record without a rev silently attributes a
+    stale measurement to whatever HEAD the consumer is looking at."""
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", "-C", _REPO, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
 def _fallback_line(reason):
     """The most recent real-chip measurement (written on every successful
     run, by main --measure AND by chip-worklist bench runs mid-round),
@@ -196,6 +211,11 @@ def _fallback_line(reason):
         }
     out["stale"] = "replayed_cached_chip_measurement"
     out["error"] = reason
+    # the rev the cached record was MEASURED at (stamped when written);
+    # records predating the stamp are explicitly unknown, and the
+    # replaying HEAD is recorded separately so the mismatch is visible
+    out.setdefault("git_rev", "unknown")
+    out["replayed_at_rev"] = _git_rev()
     return out
 
 
@@ -213,7 +233,13 @@ def main():
     budget = float(os.environ.get("BENCH_BUDGET_S", "1500"))
     reserve = 15.0  # always leave room to print the fallback line
 
-    if not _wait_for_backend(max_wait_s=min(300.0, budget / 3)):
+    # scale the backend wait with what the budget can actually spare:
+    # everything beyond (expected measure time + reserve) may be spent
+    # waiting out a fabric outage — a hard low cap wastes budget that
+    # could have bought a live measurement instead of a stale replay
+    expected_measure_s = 700.0  # 2 compiles (~200 s each) + timed steps
+    spare = budget - reserve - expected_measure_s
+    if not _wait_for_backend(max_wait_s=max(min(spare, budget / 2), 60.0)):
         print(json.dumps(_fallback_line("tpu_backend_unavailable")))
         return
     try:
@@ -243,6 +269,24 @@ def main():
     except Exception as e:  # pragma: no cover - defensive
         reason = f"measure_child_{type(e).__name__}"
     print(json.dumps(_fallback_line(reason)))
+
+
+# the exact configuration the headline measures (VERDICT r4 weak 4):
+# table size is 2^21 (single-chip; the reference default 2^24 is the
+# TABLE_SHARDS=2 two-chip configuration, see PERF.md), and the warp-vis
+# gate re-render runs the lean 16/8/64 counts (quality-A/B'd; set
+# warp_vis_* = 128/128/512 for literal reference parity)
+def _config_stamp():
+    from scanerf_tpu.train.tile import TrainConfig
+
+    tc = TrainConfig()
+    return {
+        "git_rev": _git_rev(),
+        "log2_hashmap_size": 21,
+        "warp_vis": f"{tc.warp_vis_sample}/{tc.warp_vis_bg_sample}"
+                    f"/{tc.warp_vis_march}",
+        "warp_top_k": tc.warp_top_k,
+    }
 
 
 def _measure_main():
@@ -291,6 +335,7 @@ def _measure_main():
             "rgb_only_rays_per_sec": round(rgb_only, 1),
             "fused_decoder": fused,
         }
+        out.update(_config_stamp())
     except Exception as e:  # pragma: no cover - fabric failure path
         import traceback
 
@@ -302,6 +347,7 @@ def _measure_main():
             "vs_baseline": round(rgb_only / 5e6, 4),
             "full_recipe_error": type(e).__name__,
         }
+        out.update(_config_stamp())
     try:
         out_cache = dict(out)
         out_cache["measured_at"] = time.strftime(
@@ -324,6 +370,7 @@ def _write_partial(out):
         out["measured_at"] = time.strftime(
             "%Y-%m-%dT%H:%M:%SZ", time.gmtime())
         out["partial"] = True
+        out.setdefault("git_rev", _git_rev())
         with open(os.path.join(_REPO, "BENCH_PARTIAL.json"), "w") as f:
             json.dump(out, f)
     except Exception:

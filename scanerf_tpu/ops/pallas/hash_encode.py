@@ -138,7 +138,10 @@ WB = 32  # windows per block (slab unit)
 # module-level consumer (fused_train/fused_render/renderer) binds it at
 # import time.
 CHUNK = int(os.environ.get("SCANERF_CHUNK", "1024"))
-assert CHUNK % 128 == 0 and CHUNK > 0, CHUNK
+# CHUNK >= 256 (SUBT >= 2): fused_render stashes the per-chunk tile id
+# at meta[:, 1, 3]; with SUBT=1 that scatter would silently drop and
+# the kernel's meta_ref[0, 1, 3] read would be out of bounds.
+assert CHUNK % 128 == 0 and CHUNK >= 256, CHUNK
 SUBT = CHUNK // 128  # lane subtiles per chunk
 WIN_SUB = W * 2 // 128  # sublane rows per window (8)
 BLOCK_SUB = WB * WIN_SUB  # sublane rows per block slab (256)

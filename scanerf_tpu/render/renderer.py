@@ -188,6 +188,19 @@ def flatten_tables(features: np.ndarray) -> np.ndarray:
     ).reshape(L, T * H * F)
 
 
+def list_tile_dirs(logdir: str) -> list[str]:
+    """``tile-<id>`` export dirs under a run dir, sorted by NUMERIC id.
+
+    A lexicographic sort puts tile-10 before tile-2 at >=10 tiles, which
+    would silently mispair the stacked decoders with the spatial tile
+    ids the windowed renderer derives from window geometry."""
+    import glob as _glob
+    import os as _os
+
+    dirs = _glob.glob(_os.path.join(logdir, "tile-*"))
+    return sorted(dirs, key=lambda d: int(d.rsplit("-", 1)[1]))
+
+
 def load_scene(tile_dirs: list[str], dtype=jnp.float32) -> MultiTileScene:
     exports = [load_tile_export(d) for d in tile_dirs]
     occ = _union_occupancy(exports)

@@ -140,7 +140,7 @@ def main():
             t, v = line.split()
             test[int(t)] = int(v)
     scene = renderer_lib.load_scene(
-        sorted(glob.glob(os.path.join(trainer.logdir, "tile-*"))))
+        renderer_lib.list_tile_dirs(trainer.logdir))
     ks, c2ws, H, W = data_io.read_campara(
         os.path.join(trainer.logdir, "refined_camera.log"),
         return_shape=True)

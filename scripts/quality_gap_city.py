@@ -39,7 +39,7 @@ def main():
     from scanerf_tpu.render import renderer
     from scanerf_tpu.utils import metrics
 
-    tile_dirs = sorted(glob.glob(os.path.join(logdir, "tile-*")))
+    tile_dirs = renderer.list_tile_dirs(logdir)
     scene = renderer.load_scene(tile_dirs)
     ks, c2ws, H, W = data_io.read_campara(
         os.path.join(logdir, "refined_camera.log"), return_shape=True)

@@ -69,9 +69,7 @@ def main():
         cam_log = os.path.join(scene_dir, "camera.log")
     ks, c2ws, H, W = data_io.read_campara(cam_log, return_shape=True)
 
-    scene = renderer.load_scene(
-        sorted(glob.glob(os.path.join(logdir, "tile-*")))
-    )
+    scene = renderer.load_scene(renderer.list_tile_dirs(logdir))
     corners = np.asarray(scene.block_corner)
     sizes = np.asarray(scene.block_size)
     inner_c = corners + sizes / 4.0
