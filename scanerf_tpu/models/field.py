@@ -336,6 +336,7 @@ def _render_rays_windowed(
     table_shards: int = 1,
     bwd_onehot_bf16: bool = False,
     fused_decoder: bool = False,
+    compact_dead: bool = True,
 ) -> dict[str, jax.Array]:
     """TPU sorted-stream render: fg+bg points are merged into ONE
     windowed hash-encode call (``ops/pallas/hash_encode.py``); the
@@ -393,7 +394,18 @@ def _render_rays_windowed(
     ], axis=0)
 
     Htab = table_rows(params.features) * table_shards
-    stream = hw.sort_pack(x, dirs, Htab)
+    # masked/missed rays (occlusion mask, zero occupancy span) carry
+    # zero composite weight — route their Sf/Sb points to the sentinel
+    # window so whole-dead chunks skip the hash kernels and the decoder
+    # (the reference's boolean compression, tile.py:940). Loss-exact:
+    # dead outputs were multiplied by zero before, are zeros now.
+    dead = None
+    if compact_dead:
+        dead = jnp.concatenate([
+            jnp.broadcast_to(~vf[:, None], (B, Sf)).reshape(-1),
+            jnp.broadcast_to(~vb[:, None], (B, Sb)).reshape(-1),
+        ])
+    stream = hw.sort_pack(x, dirs, Htab, dead)
     if table_shards > 1:
         from scanerf_tpu.parallel.table_parallel import (
             complete_on_backward,
@@ -546,6 +558,7 @@ def render_rays(
     table_shards: int = 1,
     bwd_onehot_bf16: bool = False,
     fused_decoder: bool = False,
+    compact_dead: bool = True,
 ) -> dict[str, jax.Array]:
     """fg + bg composite (``tile.py:639-692``). ``bg_z`` supplies
     precomputed BS-mode background samples (z, dists, valid).
@@ -564,6 +577,7 @@ def render_rays(
             step, occlusion_mask, train, invalid_underground, num_march,
             bg_z, table_axis=table_axis, table_shards=table_shards,
             bwd_onehot_bf16=bwd_onehot_bf16, fused_decoder=fused_decoder,
+            compact_dead=compact_dead,
         )
     assert table_shards == 1, (
         "table parallelism requires the windowed backend")

@@ -232,43 +232,56 @@ def _fused_kernel(res_ref, meta_ref, pts_ref, feat_hbm, dp_hbm,
     spans = [meta_ref[0, t, 2] for t in range(SUBT)]
     wbase = meta_ref[0, 0, 3]
     iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    nwork = spans[0]
+    for t in range(1, SUBT):
+        nwork += spans[t]
 
-    # STATIC level loop: the feature rows are carried in registers and
-    # concatenated (a [2L, CHUNK] scratch would need a dynamic-sublane
-    # store per level, which Mosaic cannot lower: "dynamic store with
-    # unaligned indices")
-    def one_level(l):
-        subt_rows = []
-        for t in range(SUBT):
-            sl = pl.ds(t * 128, 128)
-            slot, w8, _aux = _corner_setup(res_ref, pts_ref, l, t)
-            widf_t = pts_ref[0, 3:4, sl]
-            wmin_t = wmins[t]
-            span_t = spans[t]
+    # chunks of only dead/pad sentinel rows (parked blend slots, pads):
+    # skip gathers AND the decoder matmuls — emit zeros (sigma 0,
+    # color 0), which the blend's masks discard anyway
+    @pl.when(nwork == 0)
+    def _():
+        out_ref[0, :, :] = jnp.zeros((4, CHUNK), jnp.float32)
 
-            def k_body(k, acc8, slot=slot, w8=w8, widf_t=widf_t,
-                       wmin_t=wmin_t, l=l):
-                w = wmin_t + k
-                wl = w - wbase - boc * WB
-                win_d = slab_d[l, pl.ds(wl * WIN_SUB, WIN_SUB), :]
-                mt = (widf_t == w.astype(jnp.float32)).astype(jnp.float32)
-                return _corner_accum(win_d, slot, w8, mt, iota8, acc8)
+    @pl.when(nwork > 0)
+    def _():
+        # STATIC level loop: the feature rows are carried in registers
+        # and concatenated (a [2L, CHUNK] scratch would need a
+        # dynamic-sublane store per level, which Mosaic cannot lower:
+        # "dynamic store with unaligned indices")
+        def one_level(l):
+            subt_rows = []
+            for t in range(SUBT):
+                sl = pl.ds(t * 128, 128)
+                slot, w8, _aux = _corner_setup(res_ref, pts_ref, l, t)
+                widf_t = pts_ref[0, 3:4, sl]
+                wmin_t = wmins[t]
+                span_t = spans[t]
 
-            acc8 = jax.lax.fori_loop(
-                0, span_t, k_body, jnp.zeros((8, 128), jnp.float32))
-            s0, s1 = _accum_reduce(acc8)
-            subt_rows.append((s0, s1))
-        f0 = jnp.concatenate([r[0] for r in subt_rows], axis=1)  # [1,CHUNK]
-        f1 = jnp.concatenate([r[1] for r in subt_rows], axis=1)
-        return f0, f1
+                def k_body(k, acc8, slot=slot, w8=w8, widf_t=widf_t,
+                           wmin_t=wmin_t, l=l):
+                    w = wmin_t + k
+                    wl = w - wbase - boc * WB
+                    win_d = slab_d[l, pl.ds(wl * WIN_SUB, WIN_SUB), :]
+                    mt = (widf_t == w.astype(jnp.float32)).astype(
+                        jnp.float32)
+                    return _corner_accum(win_d, slot, w8, mt, iota8, acc8)
 
-    rows = []
-    for l in range(L):
-        f0, f1 = one_level(l)
-        rows.append(f0)
-        rows.append(f1)
-    feats = jnp.concatenate(rows, axis=0)  # [2L, CHUNK]
-    out_ref[0, :, :] = _decode_chunk(pslab, feats, pts_ref)
+                acc8 = jax.lax.fori_loop(
+                    0, span_t, k_body, jnp.zeros((8, 128), jnp.float32))
+                s0, s1 = _accum_reduce(acc8)
+                subt_rows.append((s0, s1))
+            f0 = jnp.concatenate([r[0] for r in subt_rows], axis=1)
+            f1 = jnp.concatenate([r[1] for r in subt_rows], axis=1)
+            return f0, f1
+
+        rows = []
+        for l in range(L):
+            f0, f1 = one_level(l)
+            rows.append(f0)
+            rows.append(f1)
+        feats = jnp.concatenate(rows, axis=0)  # [2L, CHUNK]
+        out_ref[0, :, :] = _decode_chunk(pslab, feats, pts_ref)
 
 
 def hash_decode_fused(

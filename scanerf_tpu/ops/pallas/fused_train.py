@@ -162,39 +162,57 @@ def _ft_fwd_kernel(res_ref, meta_ref, pts_ref, feat_hbm, pslab_ref,
     spans = [meta_ref[0, t, 2] for t in range(SUBT)]
     wbase = meta_ref[0, 0, 3]
     iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    nwork = spans[0]
+    for t in range(1, SUBT):
+        nwork += spans[t]
 
-    # STATIC level loop (fused_render pattern): rows ride registers into
-    # the decoder; the per-level stores double as the VJP residual
-    rows = []
-    for l in range(L):
-        subt_rows = []
-        for t in range(SUBT):
-            sl = pl.ds(t * 128, 128)
-            slot, w8, _aux = _corner_setup(res_ref, pts_ref, l, t)
-            widf_t = pts_ref[0, 3:4, sl]
-            wmin_t = wmins[t]
-            span_t = spans[t]
+    # all-sentinel chunks (masked rays routed dead, pads): skip gathers
+    # and the decoder — zero cols AND the feats residual (the backward
+    # reads feats of skipped chunks only through its own skip, but
+    # zeros keep any debug path NaN-free)
+    @pl.when(nwork == 0)
+    def _():
+        for l in range(L):
+            feats_ref[0, l, :, :] = jnp.zeros((2, CHUNK), jnp.float32)
+        cols_ref[0, :, :] = jnp.zeros((8, CHUNK), jnp.float32)
 
-            def k_body(k, acc8, slot=slot, w8=w8, widf_t=widf_t,
-                       wmin_t=wmin_t, l=l):
-                w = wmin_t + k
-                wl = w - wbase - boc * WB
-                win_d = slab_d[l, pl.ds(wl * WIN_SUB, WIN_SUB), :]
-                mt = (widf_t == w.astype(jnp.float32)).astype(jnp.float32)
-                return _corner_accum(win_d, slot, w8, mt, iota8, acc8)
+    @pl.when(nwork > 0)
+    def _():
+        # STATIC level loop (fused_render pattern): rows ride registers
+        # into the decoder; the per-level stores double as the VJP
+        # residual
+        rows = []
+        for l in range(L):
+            subt_rows = []
+            for t in range(SUBT):
+                sl = pl.ds(t * 128, 128)
+                slot, w8, _aux = _corner_setup(res_ref, pts_ref, l, t)
+                widf_t = pts_ref[0, 3:4, sl]
+                wmin_t = wmins[t]
+                span_t = spans[t]
 
-            acc8 = jax.lax.fori_loop(
-                0, span_t, k_body, jnp.zeros((8, 128), jnp.float32))
-            s0, s1 = _accum_reduce(acc8)
-            feats_ref[0, l, 0:1, sl] = s0
-            feats_ref[0, l, 1:2, sl] = s1
-            subt_rows.append((s0, s1))
-        rows.append(jnp.concatenate([r[0] for r in subt_rows], axis=1))
-        rows.append(jnp.concatenate([r[1] for r in subt_rows], axis=1))
+                def k_body(k, acc8, slot=slot, w8=w8, widf_t=widf_t,
+                           wmin_t=wmin_t, l=l):
+                    w = wmin_t + k
+                    wl = w - wbase - boc * WB
+                    win_d = slab_d[l, pl.ds(wl * WIN_SUB, WIN_SUB), :]
+                    mt = (widf_t == w.astype(jnp.float32)).astype(
+                        jnp.float32)
+                    return _corner_accum(win_d, slot, w8, mt, iota8, acc8)
 
-    feats = jnp.concatenate(rows, axis=0)  # [2L, CHUNK]
-    dirs3 = pts_ref[0, 4:7, :]
-    cols_ref[0, :, :] = _decode_train_chunk(pslab_ref[:, :], feats, dirs3)
+                acc8 = jax.lax.fori_loop(
+                    0, span_t, k_body, jnp.zeros((8, 128), jnp.float32))
+                s0, s1 = _accum_reduce(acc8)
+                feats_ref[0, l, 0:1, sl] = s0
+                feats_ref[0, l, 1:2, sl] = s1
+                subt_rows.append((s0, s1))
+            rows.append(jnp.concatenate([r[0] for r in subt_rows], axis=1))
+            rows.append(jnp.concatenate([r[1] for r in subt_rows], axis=1))
+
+        feats = jnp.concatenate(rows, axis=0)  # [2L, CHUNK]
+        dirs3 = pts_ref[0, 4:7, :]
+        cols_ref[0, :, :] = _decode_train_chunk(
+            pslab_ref[:, :], feats, dirs3)
 
 
 # ---------------------------------------------------------------------------
@@ -242,61 +260,76 @@ def _ft_bwd_kernel(res_ref, meta_ref, pts_ref, feats_ref, g_ref, feat_hbm,
         dma.wait()
         _relayout_slab(slab, slab_d, L, _deinterleave_window)
 
-    # --- decoder pullback: d(8 cols) -> (d_pslab, d_feats, d_dirs) ----
-    feats = jnp.concatenate(
-        [feats_ref[0, l, f:f + 1, :] for l in range(L) for f in (0, 1)],
-        axis=0,
-    )  # [2L, CHUNK]
-    dirs3 = pts_ref[0, 4:7, :]
-    _, pull = jax.vjp(_decode_train_chunk, pslab_ref[:, :], feats, dirs3)
-    d_ps, d_f, d_d3 = pull(g_ref[0, :, :])
-    dps_ref[:, :] += d_ps
-    # d_feats to scratch so the fori level loop can index it dynamically
-    for l in range(L):
-        dfv[l, 0:1, :] = d_f[2 * l:2 * l + 1, :]
-        dfv[l, 1:2, :] = d_f[2 * l + 1:2 * l + 2, :]
-
-    dpt[:, :] = jnp.zeros((8, CHUNK), jnp.float32)
-    dpt[4:7, :] = d_d3
-    iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-    iota128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
-
     wmins = [meta_ref[0, t, 1] for t in range(SUBT)]
     spans = [meta_ref[0, t, 2] for t in range(SUBT)]
     wbase = meta_ref[0, 0, 3]
+    nwork = spans[0]
+    for t in range(1, SUBT):
+        nwork += spans[t]
 
-    def level_body(l, _):
-        for t in range(SUBT):
-            sl = pl.ds(t * 128, 128)
-            slot, w8, aux = _corner_setup(res_ref, pts_ref, l, t)
-            widf_t = pts_ref[0, 3:4, sl]
-            g0t = dfv[l, 0:1, sl]
-            g1t = dfv[l, 1:2, sl]
-            wmin_t = wmins[t]
-            span_t = spans[t]
+    # all-sentinel chunks: cotangents are zero by construction (their
+    # forward cols were zeros, masked at composite) — skip the decoder
+    # pullback AND the scatter; only the zero dpts store remains
+    @pl.when(nwork == 0)
+    def _():
+        dpts_ref[0, :, :] = jnp.zeros((8, CHUNK), jnp.float32)
 
-            def k_body(k, carry, slot=slot, w8=w8, aux=aux, widf_t=widf_t,
-                       g0t=g0t, g1t=g1t, wmin_t=wmin_t):
-                w = wmin_t + k
-                wl = w - wbase - boc * WB
-                win_d = slab_d[l, pl.ds(wl * WIN_SUB, WIN_SUB), :]
-                mt = (widf_t == w.astype(jnp.float32)).astype(jnp.float32)
-                dwin, carry = _corner_bwd_accum(
-                    win_d, slot, w8, aux, mt, g0t, g1t, iota8, iota128,
-                    onehot_bf16, carry)
-                daccs[l, pl.ds(wl * WIN_SUB, WIN_SUB), :] += dwin
-                return carry
+    @pl.when(nwork > 0)
+    def _():
+        # --- decoder pullback: d(8 cols) -> (d_pslab, d_feats, d_dirs)
+        feats = jnp.concatenate(
+            [feats_ref[0, l, f:f + 1, :] for l in range(L) for f in (0, 1)],
+            axis=0,
+        )  # [2L, CHUNK]
+        dirs3 = pts_ref[0, 4:7, :]
+        _, pull = jax.vjp(
+            _decode_train_chunk, pslab_ref[:, :], feats, dirs3)
+        d_ps, d_f, d_d3 = pull(g_ref[0, :, :])
+        dps_ref[:, :] += d_ps
+        # d_feats to scratch so the fori level loop can index it
+        # dynamically
+        for l in range(L):
+            dfv[l, 0:1, :] = d_f[2 * l:2 * l + 1, :]
+            dfv[l, 1:2, :] = d_f[2 * l + 1:2 * l + 2, :]
 
-            zero = jnp.zeros((1, 128), jnp.float32)
-            du0, du1, du2 = jax.lax.fori_loop(
-                0, span_t, k_body, (zero, zero, zero))
-            dpt[0:1, sl] += du0
-            dpt[1:2, sl] += du1
-            dpt[2:3, sl] += du2
-        return ()
+        dpt[:, :] = jnp.zeros((8, CHUNK), jnp.float32)
+        dpt[4:7, :] = d_d3
+        iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        iota128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
 
-    jax.lax.fori_loop(0, L, level_body, ())
-    dpts_ref[0, :, :] = dpt[:, :]
+        def level_body(l, _):
+            for t in range(SUBT):
+                sl = pl.ds(t * 128, 128)
+                slot, w8, aux = _corner_setup(res_ref, pts_ref, l, t)
+                widf_t = pts_ref[0, 3:4, sl]
+                g0t = dfv[l, 0:1, sl]
+                g1t = dfv[l, 1:2, sl]
+                wmin_t = wmins[t]
+                span_t = spans[t]
+
+                def k_body(k, carry, slot=slot, w8=w8, aux=aux,
+                           widf_t=widf_t, g0t=g0t, g1t=g1t, wmin_t=wmin_t):
+                    w = wmin_t + k
+                    wl = w - wbase - boc * WB
+                    win_d = slab_d[l, pl.ds(wl * WIN_SUB, WIN_SUB), :]
+                    mt = (widf_t == w.astype(jnp.float32)).astype(
+                        jnp.float32)
+                    dwin, carry = _corner_bwd_accum(
+                        win_d, slot, w8, aux, mt, g0t, g1t, iota8, iota128,
+                        onehot_bf16, carry)
+                    daccs[l, pl.ds(wl * WIN_SUB, WIN_SUB), :] += dwin
+                    return carry
+
+                zero = jnp.zeros((1, 128), jnp.float32)
+                du0, du1, du2 = jax.lax.fori_loop(
+                    0, span_t, k_body, (zero, zero, zero))
+                dpt[0:1, sl] += du0
+                dpt[1:2, sl] += du1
+                dpt[2:3, sl] += du2
+            return ()
+
+        jax.lax.fori_loop(0, L, level_body, ())
+        dpts_ref[0, :, :] = dpt[:, :]
 
     @pl.when(c == NC - 1)
     def _():

@@ -337,13 +337,15 @@ def _sort_pack_impl(
     tids: jax.Array | None = None,
     n_tables: int = 1,
     need_inverse: bool = True,
+    dead: jax.Array | None = None,
 ):
     """Dispatch on the permute mode: "runs" builds the stream from the
     run table (no N-sized sort); everything else goes through the
     sorted path."""
     if _PERMUTE_MODE == "runs":
-        return _sort_pack_runs(x, dirs, H, tids, n_tables)
-    return _sort_pack_sorted(x, dirs, H, tids, n_tables, need_inverse)
+        return _sort_pack_runs(x, dirs, H, tids, n_tables, dead)
+    return _sort_pack_sorted(x, dirs, H, tids, n_tables, need_inverse,
+                             dead)
 
 
 def _point_wids(x: jax.Array, H: int, tids, n_tables: int):
@@ -358,17 +360,30 @@ def _point_wids(x: jax.Array, H: int, tids, n_tables: int):
     return u, wid, NW, NB
 
 
-def _stream_meta(pts: jax.Array, NC: int) -> jax.Array:
+def _stream_meta(pts: jax.Array, NC: int, NW: int) -> jax.Array:
     """Per-SUBTILE window ranges: row t of meta[c] = (boc, wmin_t,
     span_t, 0) for the 128-point lane subtile t (the kernel loops each
-    subtile over only the windows it actually touches)."""
+    subtile over only the windows it actually touches).
+
+    Rows carrying the DEAD/PAD sentinel window id (widf == NW, one past
+    the last real window — sort_pack's ``dead`` argument and all pad
+    rows) are excluded from the ranges: a subtile of only sentinel rows
+    gets span 0, and a chunk whose subtiles are ALL span 0 is skipped
+    outright by the kernels (zero outputs, no gathers, no decoder) —
+    the sorted-stream analog of the reference's boolean compression of
+    masked rays (tile.py:940) and its break-on-transparency renderer
+    loop (rendering_kernel.cu:507)."""
     widp = pts[:, 3, :].astype(jnp.int32).reshape(NC, SUBT, 128)
-    wmin_t = jnp.min(widp, axis=2)  # [NC, 8]
-    wmax_t = jnp.max(widp, axis=2)
-    boc_c = jnp.min(wmin_t, axis=1) // WB  # [NC]
+    real = widp < NW
+    big = jnp.int32(2**30)
+    wmin_t = jnp.min(jnp.where(real, widp, big), axis=2)  # [NC, 8]
+    wmax_t = jnp.max(jnp.where(real, widp, -1), axis=2)
+    span_t = jnp.maximum(wmax_t - wmin_t + 1, 0)  # 0 for all-sentinel
+    wmin_t = jnp.minimum(wmin_t, NW - 1)  # keep wl in-slab when span 0
+    boc_c = jnp.clip(jnp.min(wmin_t, axis=1) // WB, 0, NW // WB - 1)
     return jnp.stack(
         [jnp.broadcast_to(boc_c[:, None], (NC, SUBT)),
-         wmin_t, wmax_t - wmin_t + 1,
+         wmin_t, span_t,
          jnp.zeros_like(wmin_t)], axis=-1
     ).astype(jnp.int32)
 
@@ -379,6 +394,7 @@ def _sort_pack_runs(
     H: int,
     tids: jax.Array | None = None,
     n_tables: int = 1,
+    dead: jax.Array | None = None,
 ):
     """Run-length sort_pack: zero N-sized sorts.
 
@@ -408,6 +424,11 @@ def _sort_pack_runs(
     N = x.shape[0]
     assert N >= 1
     u, wid, NW, NB = _point_wids(x, H, tids, n_tables)
+    if dead is not None:
+        # sentinel window NW: dead rows sort after every real window but
+        # stay inside the LAST block's copy run (kk below includes them)
+        # so pids remain a full permutation and unsort stays a sort
+        wid = jnp.where(dead, NW, wid)
     Np, NC = padded_size(N, H, n_tables)
     R_cap = _run_capacity(N)
 
@@ -439,8 +460,13 @@ def _sort_pack_runs(
         cum = jnp.concatenate(
             [jnp.zeros((1,), jnp.int32),
              jnp.cumsum(len_s).astype(jnp.int32)])  # [R_cap+1], cum[-1]=N
+        # last query NW+1 (not NB*WB == NW): dead-sentinel runs count
+        # into the last block; the empty-slot sentinel (2^30) stays out
         kk = jnp.searchsorted(
-            wid_s, jnp.arange(NB + 1, dtype=jnp.int32) * WB, side="left")
+            wid_s,
+            jnp.concatenate([jnp.arange(NB, dtype=jnp.int32) * WB,
+                             jnp.array([NW + 1], jnp.int32)]),
+            side="left")
         bounds = jnp.take(cum, kk)  # [NB+1] == sorted-path bounds
         pop = bounds[1:] - bounds[:-1]
         padded = ((pop + CHUNK - 1) // CHUNK) * CHUNK
@@ -460,23 +486,17 @@ def _sort_pack_runs(
         valid = off < jnp.take(len_s, seg)
         src = jnp.where(valid, jnp.take(src_s, seg) + off, N)  # [Np]
 
-        # --- pad window id per chunk (same formula as the sorted path)
-        c0 = jnp.arange(NC, dtype=jnp.int32) * CHUNK
-        b_of_c = jnp.clip(
-            jnp.searchsorted(S, c0, side="right").astype(jnp.int32) - 1,
-            0, NB - 1)
-        padwid = jnp.where(c0 < S[NB], b_of_c * WB, NW - 1)  # [NC]
-
-        # --- assemble the padded stream with ONE [Np, 6] row gather
+        # --- assemble the padded stream with ONE [Np, 6] row gather.
+        # Pad rows carry the sentinel window id NW (same as the sorted
+        # path): they never extend a subtile's gather span, and
+        # pure-pad/pure-dead chunks are skipped outright by the kernels
         pay = jnp.concatenate(
             [jnp.concatenate([u, dirs], axis=1),
              jnp.array([[0.5, 0.5, 0.5, 0.0, 0.0, 0.0]], jnp.float32)])
         g = jnp.take(pay, src, axis=0)  # [Np, 6]
         widf = jnp.where(
             valid, jnp.take(wid_s, seg).astype(jnp.float32),
-            jnp.broadcast_to(
-                padwid[:, None].astype(jnp.float32), (NC, CHUNK)
-            ).reshape(Np))
+            jnp.float32(NW))
         stream8 = jnp.stack(
             [g[:, 0], g[:, 1], g[:, 2], widf,
              g[:, 3], g[:, 4], g[:, 5], jnp.zeros((Np,), jnp.float32)])
@@ -490,13 +510,13 @@ def _sort_pack_runs(
         return pts, src, inv_full, pop > 0
 
     def sort_branch(_):
-        s = _sort_pack_sorted(x, dirs, H, tids, n_tables, True)
+        s = _sort_pack_sorted(x, dirs, H, tids, n_tables, True, dead)
         return s.pts, s.pidp, s.inv_full, s.visited
 
     pts, pidp, inv_full, visited = jax.lax.cond(
         cs[-1] <= R_cap, runs_branch, sort_branch, None)
     return SortedStream(
-        pts=pts, meta=_stream_meta(pts, NC), pidp=pidp,
+        pts=pts, meta=_stream_meta(pts, NC, NW), pidp=pidp,
         inv_full=inv_full, visited=visited,
     )
 
@@ -508,12 +528,23 @@ def _sort_pack_sorted(
     tids: jax.Array | None = None,
     n_tables: int = 1,
     need_inverse: bool = True,
+    dead: jax.Array | None = None,
 ):
     """tids (optional) [N] int32: per-point table index for multi-table
     streams (the multi-tile renderer). Window ids become
     ``tid * NW + wid``; tile boundaries then coincide with block
     boundaries (NW % WB == 0), so every CHUNK stays within one tile's
     table slab and the kernel needs no changes.
+
+    dead (optional) [N] bool: rows whose outputs are discarded
+    downstream (masked rays, parked blend slots). They receive the
+    sentinel window id NW — sorted after every real window, still
+    copied into the last block (pids stay a full permutation, unsort
+    unchanged), but excluded from every gather span; chunks made only
+    of dead/pad rows are skipped whole by the kernels, which emit
+    zeros for them. The reference analog is the boolean compression of
+    masked rays (tile.py:940) — here the compression falls out of the
+    sort the stream already pays for.
 
     Pipeline: ONE lax.sort by window id (8 operands), then the pad-align
     layout is a per-block forward shift of contiguous runs — done by the
@@ -527,6 +558,8 @@ def _sort_pack_sorted(
     wid = window_id(u, H)
     if tids is not None:
         wid = wid + tids.astype(jnp.int32) * (NW // n_tables)
+    if dead is not None:
+        wid = jnp.where(dead, NW, wid)  # sentinel: one past the last
     pid = jnp.arange(N, dtype=jnp.int32)
 
     if _PERMUTE_MODE == "gather_narrow":
@@ -544,9 +577,14 @@ def _sort_pack_sorted(
             num_keys=1,
         )
 
-    # block boundaries in the sorted stream -> aligned positions
+    # block boundaries in the sorted stream -> aligned positions (last
+    # query NW+1, not NB*WB == NW: dead-sentinel rows count into the
+    # last block so they are copied and their pids stay in the stream)
     bounds = jnp.searchsorted(
-        ws, jnp.arange(NB + 1, dtype=jnp.int32) * WB, side="left"
+        ws,
+        jnp.concatenate([jnp.arange(NB, dtype=jnp.int32) * WB,
+                         jnp.array([NW + 1], jnp.int32)]),
+        side="left",
     ).astype(jnp.int32)
     pop = bounds[1:] - bounds[:-1]  # [NB]
     padded = ((pop + CHUNK - 1) // CHUNK) * CHUNK
@@ -556,8 +594,9 @@ def _sort_pack_sorted(
 
     # per-output-chunk copy descriptor: the block containing the chunk,
     # its source run, and the pad wid. Tail chunks (past S[NB]) stay in
-    # the LAST block with wid = NW-1: block visits must be monotone or
-    # the bwd flush-on-change would rewrite earlier gradients with zeros.
+    # the LAST block (b_of_c clamps, and _stream_meta maps all-sentinel
+    # chunks to boc NB-1): block visits must be monotone or the bwd
+    # flush-on-change would rewrite earlier gradients with zeros.
     c0 = jnp.arange(NC, dtype=jnp.int32) * CHUNK
     b_of_c = jnp.clip(
         jnp.searchsorted(S, c0, side="right").astype(jnp.int32) - 1,
@@ -565,7 +604,9 @@ def _sort_pack_sorted(
     )
     src_start = c0 - (S[b_of_c] - bounds[b_of_c])
     n_real = jnp.clip(S[b_of_c] + pop[b_of_c] - c0, 0, CHUNK)
-    padwid = jnp.where(c0 < S[NB], b_of_c * WB, NW - 1)
+    # pad rows carry the sentinel window id NW: never part of a gather
+    # span, and pure-pad tail chunks are skipped whole by the kernels
+    padwid = jnp.full((NC,), NW, jnp.int32)
     # the source is padded by CHUNK + 128 extra columns so the
     # (CHUNK+128)-wide aligned DMA at any legitimate aligned-down start
     # (<= N) stays in bounds; chunks with n_real == 0 may compute a
@@ -618,7 +659,7 @@ def _sort_pack_sorted(
     )(meta_c, src)
     pidp = pidp2.reshape(Np)
 
-    meta = _stream_meta(pts, NC)
+    meta = _stream_meta(pts, NC, NW)
 
     # Permutation inverse. "sort" mode: not computed here — unsort_rows
     # derives it INSIDE its forward sort as one extra payload (the base
@@ -632,7 +673,9 @@ def _sort_pack_sorted(
     del need_inverse
     inv_full = None
     if _gather_mode():
-        b_j = ws // WB  # block of sorted row j
+        # block of sorted row j (dead-sentinel rows live in the LAST
+        # block's padded range — clamp their NW // WB == NB over-index)
+        b_j = jnp.minimum(ws // WB, NB - 1)
         padpos = S[b_j] - bounds[b_j] + jnp.arange(N, dtype=jnp.int32)
         inv_full = jax.lax.sort((pids, padpos), num_keys=1)[1]
     return SortedStream(
@@ -641,23 +684,32 @@ def _sort_pack_sorted(
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def sort_pack(x: jax.Array, dirs: jax.Array, H: int) -> SortedStream:
+def sort_pack(
+    x: jax.Array, dirs: jax.Array, H: int,
+    dead: jax.Array | None = None,
+) -> SortedStream:
     """Window-sort + pad-align points (and their viewdirs) for the kernel.
 
     x [N, 3] in [-2, 2]; dirs [N, 3]. Differentiable in both (the window
     assignment itself is piecewise-constant, gradient flows through the
-    carried u/dir payloads).
+    carried u/dir payloads). ``dead`` [N] bool routes discarded rows to
+    the sentinel window (see _sort_pack_sorted) — their payload
+    cotangents are zero by construction (outputs masked downstream).
     """
-    return _sort_pack_impl(x, dirs, H)
+    return _sort_pack_impl(x, dirs, H, dead=dead)
 
 
-def _sp_fwd(x, dirs, H):
-    out = _sort_pack_impl(x, dirs, H)
-    return out, (out.pidp, out.inv_full, x.shape[0])
+def _sp_fwd(x, dirs, H, dead=None):
+    out = _sort_pack_impl(x, dirs, H, dead=dead)
+    return out, (out.pidp, out.inv_full, x.shape[0],
+                 None if dead is None else dead.shape)
 
 
 def _sp_bwd(H, res, g: SortedStream):
-    pidp, inv_full, N = res
+    pidp, inv_full, N, dead_shape = res
+    # bool input -> float0 cotangent (None only when dead was None)
+    d_dead = (None if dead_shape is None
+              else np.zeros(dead_shape, jax.dtypes.float0))
     gp = g.pts  # [NC, 8, CHUNK] cotangent (float0 for int fields handled)
     Np = pidp.shape[0]
     cols = gp.transpose(1, 0, 2).reshape(8, Np)
@@ -667,14 +719,14 @@ def _sp_bwd(H, res, g: SortedStream):
             jnp.stack([cols[0], cols[1], cols[2],
                        cols[4], cols[5], cols[6]], axis=-1),
             inv_full[:N], axis=0)  # [N, 6]
-        return picked[:, 0:3] * 0.25, picked[:, 3:6]
+        return picked[:, 0:3] * 0.25, picked[:, 3:6], d_dead
     out = jax.lax.sort(
         (pidp, cols[0], cols[1], cols[2], cols[4], cols[5], cols[6]),
         num_keys=1,
     )
     du = jnp.stack(out[1:4], axis=-1)[:N]
     ddirs = jnp.stack(out[4:7], axis=-1)[:N]
-    return du * 0.25, ddirs
+    return du * 0.25, ddirs, d_dead
 
 
 sort_pack.defvjp(_sp_fwd, _sp_bwd)
@@ -686,6 +738,7 @@ def sort_pack_tables(
     tids: jax.Array,
     H: int,
     n_tables: int,
+    dead: jax.Array | None = None,
 ) -> SortedStream:
     """Multi-table window-sort: points carry a per-point table index
     (tile id) and land in window ``tid*NW + wid`` of a concatenated
@@ -695,7 +748,8 @@ def sort_pack_tables(
     single-table training-path entry.
     """
     return _sort_pack_impl(
-        x, dirs, H, tids=tids, n_tables=n_tables, need_inverse=False
+        x, dirs, H, tids=tids, n_tables=n_tables, need_inverse=False,
+        dead=dead,
     )
 
 
@@ -1007,31 +1061,44 @@ def _fwd_kernel(res_ref, meta_ref, pts_ref, feat_hbm, out_ref,
     # each device holds a contiguous block range; 0 when unsharded)
     wbase = meta_ref[0, 0, 3]
     iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    nwork = spans[0]
+    for t in range(1, SUBT):
+        nwork += spans[t]
 
-    def level_body(l, _):
-        for t in range(SUBT):  # static: sequencer iteration cost dominates
-            sl = pl.ds(t * 128, 128)
-            slot, w8, _aux = _corner_setup(res_ref, pts_ref, l, t)
-            widf_t = pts_ref[0, 3:4, sl]
-            wmin_t = wmins[t]
-            span_t = spans[t]
+    # chunks of only dead/pad sentinel rows: no gathers, no corner
+    # setup — just zero the output block (the rows are discarded at
+    # unsort or masked at composite; zeros keep the ×0 NaN-free)
+    @pl.when(nwork == 0)
+    def _():
+        out_ref[0, :, :, :] = jnp.zeros((L, 2, CHUNK), jnp.float32)
 
-            def k_body(k, acc8, slot=slot, w8=w8, widf_t=widf_t,
-                       wmin_t=wmin_t):
-                w = wmin_t + k
-                wl = w - wbase - boc * WB
-                win_d = slab_d[l, pl.ds(wl * WIN_SUB, WIN_SUB), :]  # (8,128)
-                mt = (widf_t == w.astype(jnp.float32)).astype(jnp.float32)
-                return _corner_accum(win_d, slot, w8, mt, iota8, acc8)
+    @pl.when(nwork > 0)
+    def _():
+        def level_body(l, _):
+            for t in range(SUBT):  # static: sequencer iteration dominates
+                sl = pl.ds(t * 128, 128)
+                slot, w8, _aux = _corner_setup(res_ref, pts_ref, l, t)
+                widf_t = pts_ref[0, 3:4, sl]
+                wmin_t = wmins[t]
+                span_t = spans[t]
 
-            acc8 = jax.lax.fori_loop(
-                0, span_t, k_body, jnp.zeros((8, 128), jnp.float32))
-            s0, s1 = _accum_reduce(acc8)
-            out_ref[0, l, 0:1, sl] = s0
-            out_ref[0, l, 1:2, sl] = s1
-        return ()
+                def k_body(k, acc8, slot=slot, w8=w8, widf_t=widf_t,
+                           wmin_t=wmin_t):
+                    w = wmin_t + k
+                    wl = w - wbase - boc * WB
+                    win_d = slab_d[l, pl.ds(wl * WIN_SUB, WIN_SUB), :]
+                    mt = (widf_t == w.astype(jnp.float32)).astype(
+                        jnp.float32)
+                    return _corner_accum(win_d, slot, w8, mt, iota8, acc8)
 
-    jax.lax.fori_loop(0, L, level_body, ())
+                acc8 = jax.lax.fori_loop(
+                    0, span_t, k_body, jnp.zeros((8, 128), jnp.float32))
+                s0, s1 = _accum_reduce(acc8)
+                out_ref[0, l, 0:1, sl] = s0
+                out_ref[0, l, 1:2, sl] = s1
+            return ()
+
+        jax.lax.fori_loop(0, L, level_body, ())
 
 
 def _bwd_kernel(res_ref, meta_ref, pts_ref, g_ref, feat_hbm,
@@ -1087,38 +1154,48 @@ def _bwd_kernel(res_ref, meta_ref, pts_ref, g_ref, feat_hbm,
     wmins = [meta_ref[0, t, 1] for t in range(SUBT)]
     spans = [meta_ref[0, t, 2] for t in range(SUBT)]
     wbase = meta_ref[0, 0, 3]
+    nwork = spans[0]
+    for t in range(1, SUBT):
+        nwork += spans[t]
 
-    def level_body(l, _):
-        for t in range(SUBT):  # static: sequencer iteration cost dominates
-            sl = pl.ds(t * 128, 128)
-            slot, w8, aux = _corner_setup(res_ref, pts_ref, l, t)
-            widf_t = pts_ref[0, 3:4, sl]
-            g0t = g_ref[0, l, 0:1, sl]
-            g1t = g_ref[0, l, 1:2, sl]
-            wmin_t = wmins[t]
-            span_t = spans[t]
+    # all-sentinel chunks: their cotangents are zero by construction
+    # (outputs were zeros, masked downstream) — skip the whole scatter;
+    # dpt stays zeroed, so dpts_ref gets the right zeros below
+    @pl.when(nwork > 0)
+    def _():
+        def level_body(l, _):
+            for t in range(SUBT):  # static: sequencer iteration dominates
+                sl = pl.ds(t * 128, 128)
+                slot, w8, aux = _corner_setup(res_ref, pts_ref, l, t)
+                widf_t = pts_ref[0, 3:4, sl]
+                g0t = g_ref[0, l, 0:1, sl]
+                g1t = g_ref[0, l, 1:2, sl]
+                wmin_t = wmins[t]
+                span_t = spans[t]
 
-            def k_body(k, carry, slot=slot, w8=w8, aux=aux, widf_t=widf_t,
-                       g0t=g0t, g1t=g1t, wmin_t=wmin_t):
-                w = wmin_t + k
-                wl = w - wbase - boc * WB
-                win_d = slab_d[l, pl.ds(wl * WIN_SUB, WIN_SUB), :]
-                mt = (widf_t == w.astype(jnp.float32)).astype(jnp.float32)
-                dwin, carry = _corner_bwd_accum(
-                    win_d, slot, w8, aux, mt, g0t, g1t, iota8, iota128,
-                    onehot_bf16, carry)
-                daccs[l, pl.ds(wl * WIN_SUB, WIN_SUB), :] += dwin
-                return carry
+                def k_body(k, carry, slot=slot, w8=w8, aux=aux,
+                           widf_t=widf_t, g0t=g0t, g1t=g1t, wmin_t=wmin_t):
+                    w = wmin_t + k
+                    wl = w - wbase - boc * WB
+                    win_d = slab_d[l, pl.ds(wl * WIN_SUB, WIN_SUB), :]
+                    mt = (widf_t == w.astype(jnp.float32)).astype(
+                        jnp.float32)
+                    dwin, carry = _corner_bwd_accum(
+                        win_d, slot, w8, aux, mt, g0t, g1t, iota8, iota128,
+                        onehot_bf16, carry)
+                    daccs[l, pl.ds(wl * WIN_SUB, WIN_SUB), :] += dwin
+                    return carry
 
-            zero = jnp.zeros((1, 128), jnp.float32)
-            du0, du1, du2 = jax.lax.fori_loop(
-                0, span_t, k_body, (zero, zero, zero))
-            dpt[0:1, sl] += du0
-            dpt[1:2, sl] += du1
-            dpt[2:3, sl] += du2
-        return ()
+                zero = jnp.zeros((1, 128), jnp.float32)
+                du0, du1, du2 = jax.lax.fori_loop(
+                    0, span_t, k_body, (zero, zero, zero))
+                dpt[0:1, sl] += du0
+                dpt[1:2, sl] += du1
+                dpt[2:3, sl] += du2
+            return ()
 
-    jax.lax.fori_loop(0, L, level_body, ())
+        jax.lax.fori_loop(0, L, level_body, ())
+
     dpts_ref[0, :, :] = dpt[:, :]
 
     @pl.when(c == NC - 1)

@@ -677,6 +677,39 @@ def _decode_stream(scene, stream, chunk_tile, feat_flat, res0, fuse):
         axis=-1,
     ).reshape(NC * hw.CHUNK, 4)
 
+def _eval_rows(scene, X, TID, DIR, fuse_decoder, dead=None):
+    """Sorted-stream evaluation of arbitrary (point, tile) rows:
+    sort_pack -> windowed hash (+ fused ShallowMLP) -> unsort. Returns
+    [R, 4] columns (sigma, diffuse + tint*specular) in input row order.
+    Shared by the one-shot windowed render and the slab-marched
+    early-termination path (render/early_term.py).
+
+    ``dead`` [R] bool marks rows whose outputs the caller's blend masks
+    discard (parked fg slots, unoccupied samples, unused bg exits) —
+    they route to the stream's sentinel window and whole-dead chunks
+    skip the hash gathers AND the in-kernel decoder
+    (hash_encode.sort_pack docstring; typically >half the fg rows at
+    MAX_PTS_BLOCKS=4 away from tile-corner overlaps)."""
+    from scanerf_tpu.ops.pallas import hash_encode as hw
+
+    T, L, H, F = scene.features.shape
+    stream = hw.sort_pack_tables(X, DIR, TID, H, T, dead=dead)
+    if scene.features_flat is not None:
+        feat_flat = scene.features_flat  # precomputed at load (no copy)
+    else:
+        feat_flat = scene.features.transpose(1, 0, 2, 3).reshape(
+            L, T * H * F
+        )
+    res0 = scene.resolutions[0]
+    # per-chunk decoder: each CHUNK lies inside one tile's table range
+    NW = H // hw.W
+    chunk_tile = jnp.clip(stream.meta[:, 0, 0] * hw.WB // NW, 0, T - 1)
+    cols = _decode_stream(
+        scene, stream, chunk_tile, feat_flat, res0, fuse_decoder
+    )  # [Np, 4]
+    return hw.unsort_rows(cols, stream.pidp, stream.inv_full, X.shape[0])
+
+
 def _render_windowed(
     scene, rays_o, rays_d, z_vals, dists, valid,
     bg_tiles, bg_w, z_bg, d_bg, bg_valid, invalid_underground,
@@ -690,8 +723,6 @@ def _render_windowed(
     ``pts_inference`` megakernel's role): hash features never round-trip
     HBM; only (sigma, premultiplied rgb) leave the sorted stream.
     ``False`` keeps the chunk-batched XLA decoder (parity oracle)."""
-    from scanerf_tpu.ops.pallas import hash_encode as hw
-
     T, L, H, F = scene.features.shape
     N, S = z_vals.shape
     Sb = z_bg.shape[1]
@@ -747,27 +778,18 @@ def _render_windowed(
            .transpose(2, 0, 1, 3).reshape(-1, 3),
     ])
 
-    stream = hw.sort_pack_tables(X, DIR, TID, H, T)
+    # dead rows (zero blend weight downstream): parked/unoccupied fg
+    # slots and unused/invalid bg exits — the stream skips their chunks
+    DEAD = jnp.concatenate([
+        (~(m_eval & valid[:, None, None])).transpose(2, 0, 1).reshape(-1),
+        jnp.broadcast_to(
+            ~(bg_used & bg_valid[:, None, None]), (N, Sb, Kb)
+        ).transpose(2, 0, 1).reshape(-1),
+    ])
     # tables stay in the scene dtype: load_scene(dtype=jnp.bfloat16)
     # keeps them half-width through the kernel's slab DMA (widened to
     # f32 in-kernel at relayout) — half the HBM footprint and traffic
-    if scene.features_flat is not None:
-        feat_flat = scene.features_flat  # precomputed at load (no copy)
-    else:
-        feat_flat = scene.features.transpose(1, 0, 2, 3).reshape(
-            L, T * H * F
-        )
-    res0 = scene.resolutions[0]
-
-    # per-chunk decoder: each CHUNK lies inside one tile's table range
-    NC = stream.pts.shape[0]
-    Np = NC * hw.CHUNK
-    NW = H // hw.W
-    chunk_tile = jnp.clip(stream.meta[:, 0, 0] * hw.WB // NW, 0, T - 1)  # [NC]
-    cols = _decode_stream(
-        scene, stream, chunk_tile, feat_flat, res0, fuse_decoder
-    )  # [Np, 4] (sigma, diffuse + tint*specular)
-    rows = hw.unsort_rows(cols, stream.pidp, stream.inv_full, X.shape[0])
+    rows = _eval_rows(scene, X, TID, DIR, fuse_decoder, DEAD)
 
     # ---- fg blend (pts_inference :500-621) ----
     rf = jnp.moveaxis(rows[:n_fg].reshape(Kf, N, S, 4), 0, 2)
@@ -946,11 +968,16 @@ def render_image(
     W: int,
     chunk: int = 2**13,
     sharded: bool = False,
+    early_term: bool = False,
+    early_kwargs: dict | None = None,
     **kwargs,
 ) -> dict[str, np.ndarray]:
     """Full-frame render in chunks (rendering.py:195-270 driver).
     ``sharded=True`` spreads each chunk's rays over every local device
-    (render_rays_sharded)."""
+    (render_rays_sharded). ``early_term=True`` uses the slab-marched
+    early-ray-termination path (render/early_term.py — the reference's
+    break-on-transparency, rendering.py:341-345); ``early_kwargs``
+    passes its slab/term_eps/bucket_min/stats knobs."""
     from scanerf_tpu.utils import lie, rays as rays_mod
 
     # the windowed stream carries point ids as f32 (exact below 2^24):
@@ -983,9 +1010,16 @@ def render_image(
     rays_o = jnp.pad(rays_o, ((0, pad), (0, 0)))
     rays_d = jnp.pad(rays_d, ((0, pad), (0, 0)), constant_values=1.0)
     outs = {"rgb": [], "depth": []}
+    if early_term:
+        assert not sharded, "early_term is a single-device driver"
+        from scanerf_tpu.render.early_term import render_rays_early
     for i in range(0, n + pad, chunk):
         ro, rd = rays_o[i : i + chunk], rays_d[i : i + chunk]
-        if mesh is not None:
+        if early_term:
+            ek = dict(early_kwargs or {})
+            kw = {k: v for k, v in kwargs.items() if k != "backend"}
+            out = render_rays_early(scene, ro, rd, **kw, **ek)
+        elif mesh is not None:
             out = render_rays_sharded(scene, ro, rd, mesh, **kwargs)
         else:
             out = render_rays(scene, ro, rd, **kwargs)

@@ -97,6 +97,12 @@ class TrainConfig:
     # zero-grad entries are fully skipped — cuda/adam_kernel.cu:46-51).
     # Off by default for parity with the shipped trainer's dense Adam.
     sparse_adam: bool = False
+    # Route occlusion-masked / zero-occupancy rays' points to the
+    # stream's sentinel window so whole-dead chunks skip the hash
+    # kernels and decoder (ops/pallas/hash_encode.py sort_pack ``dead``;
+    # reference role: boolean compression at tile.py:940). Loss-exact —
+    # dead outputs were multiplied by zero before, are zeros now.
+    compact_dead_rays: bool = True
     # "xla" = global prime-XOR hash via XLA gather (reference semantics);
     # "windowed" = merged fg+bg sorted-stream Pallas kernel (TPU prod path).
     # The YAML path (config.DEFAULTS / from_cfg) resolves to "windowed" —
@@ -168,6 +174,7 @@ class TrainConfig:
             ray_shards=T.get("RAY_SHARDS", 1),
             hash_bwd_bf16=T.get("HASH_BWD_BF16", False),
             fused_decoder=T.get("FUSED_DECODER", True),
+            compact_dead_rays=T.get("COMPACT_DEAD_RAYS", True),
             permute_mode=T.get("PERMUTE_MODE", "sort"),
             run_cap_frac=T.get("RUN_CAP_FRAC", 0.25),
             stochastic_hash_grad=T.get("STOCHASTIC_HASH_GRAD", False),
@@ -356,6 +363,7 @@ def compute_losses(
         table_shards=tc.table_shards,
         bwd_onehot_bf16=tc.hash_bwd_bf16,
         fused_decoder=tc.fused_decoder,
+        compact_dead=tc.compact_dead_rays,
     )
     valid = out["fore_valid"] | out["bg_valid"]
 
@@ -456,6 +464,7 @@ def _warp_loss(params, field_state, data, out, gt_color, valid, stepf, tc):
         table_axis="table" if tc.table_shards > 1 else None,
         table_shards=tc.table_shards,
         fused_decoder=tc.fused_decoder,
+        compact_dead=tc.compact_dead_rays,
     )
     # voxel size = max(tile_size / finest hash resolution) (warp_loss.py:150)
     voxel = jnp.max(
@@ -583,6 +592,7 @@ def render_chunk(params, field_state, rays_o, rays_d, step, tc: TrainConfig):
         num_march=tc.num_march,
         backend=tc.hash_backend,
         fused_decoder=tc.fused_decoder,
+        compact_dead=tc.compact_dead_rays,
     )
 
 
