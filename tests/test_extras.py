@@ -130,3 +130,21 @@ def test_ssim_bounded_and_identity():
         metrics.psnr(jnp.asarray(np.clip(wild, 0, 1)), jnp.asarray(gt))
     )
     assert abs(p_wild - p_clip) < 1e-4
+
+
+def test_roofline_accounting():
+    """Analytic step cost: totals equal the itemized sums, the default
+    workload is HBM-bound on spec, and mfu/roofline scale inversely
+    with the measured step time."""
+    from scanerf_tpu.utils import roofline
+
+    c = roofline.step_cost()
+    assert c["flops_total"] == sum(c["flops"].values())
+    assert c["hbm_bytes_total"] == sum(c["hbm_bytes"].values())
+    assert c["points_main"] == 2**14 * 256
+    assert c["points_vis"] == 2**14 * 10 * 24
+    s1 = roofline.summarize(0.8)
+    s2 = roofline.summarize(0.4)
+    assert s1["bound"] == "hbm"
+    assert abs(s2["mfu_est"] - 2 * s1["mfu_est"]) < 1e-4
+    assert 0 < s1["roofline_frac"] < 1
