@@ -24,13 +24,12 @@ jax.config.update("jax_enable_x64", False)
 # test_table_parallel / test_trainer_e2e (observed 3x, 2026-08-18), so
 # the default — the path the driver's gate runs — stays cache-free.
 #
-# Related jaxlib fragility (2026-08-20, observed 2x, cache-free): a
-# single full-suite process can SIGSEGV inside backend_compile_and_load
-# when it reaches test_trainer_e2e's later shard_map compiles after
-# ~60 min of accumulated CPU compiles; the same tests pass 6/6 in a
-# fresh process (204 s). If the full run dies at ~[95%] with a
-# "Fatal Python error: Segmentation fault" in jax compile internals,
-# re-run the tail file alone: pytest tests/test_trainer_e2e.py.
+# Related jaxlib fragility: a single long pytest process can SIGSEGV
+# inside backend_compile_and_load after ~60-75 min of accumulated CPU
+# compiles (whatever compiles late is the victim). The blessed gate is
+# therefore process-isolated: ``python tests/run_suite.py`` runs the
+# suite in subprocess batches; a plain ``pytest tests/`` still works
+# but carries that risk on a full run.
 if os.environ.get("SCANERF_COMPILE_CACHE"):
     jax.config.update("jax_compilation_cache_dir", "/tmp/scanerf_jax_cache")
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

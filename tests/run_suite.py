@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Process-isolated full-suite gate.
+
+One long pytest process accumulates CPU XLA compiles until jaxlib
+SIGSEGVs in ``backend_compile_and_load`` (observed repeatedly at
+~60-75 min; the victim is whatever compiles late, so collection-order
+tricks only move it — VERDICT r4 weak 6). This runner splits the suite
+into a few subprocess batches, capping the compile load any single
+process accumulates, and aggregates the results: the full suite passes
+or fails in ONE top-level command regardless of ordering.
+
+Usage: python tests/run_suite.py [extra pytest args...]
+
+Batching: the heavy shard_map/compile suites each get their own
+process; everything else is grouped round-robin into a couple of
+processes to keep interpreter+import overhead bounded (ONE cpu core on
+this machine — batches run sequentially, never in parallel).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# files whose compile load warrants a dedicated process
+HEAVY = [
+    "test_trainer_e2e.py",
+    "test_table_parallel.py",
+    "test_parallel.py",
+    "test_train_step.py",
+    "test_ray_parallel.py",
+    "test_fused_train.py",
+    "test_renderer_windowed.py",
+    "test_early_term.py",
+    "test_dead_compaction.py",
+    "test_pallas_hash.py",
+]
+N_LIGHT_BATCHES = 2
+
+
+def batches() -> list[list[str]]:
+    files = sorted(
+        os.path.relpath(p, ROOT)
+        for p in glob.glob(os.path.join(ROOT, "tests", "test_*.py"))
+    )
+    heavy = [f for f in files if os.path.basename(f) in HEAVY]
+    light = [f for f in files if os.path.basename(f) not in HEAVY]
+    out = [[f] for f in heavy]
+    groups = [light[i::N_LIGHT_BATCHES] for i in range(N_LIGHT_BATCHES)]
+    out.extend(g for g in groups if g)
+    return out
+
+def main() -> int:
+    extra = sys.argv[1:]
+    failed: list[str] = []
+    t0 = time.monotonic()
+    bs = batches()
+    for i, batch in enumerate(bs):
+        label = ", ".join(os.path.basename(b) for b in batch)
+        print(f"=== batch {i + 1}/{len(bs)}: {label}", flush=True)
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest", "-q", *batch, *extra],
+            cwd=ROOT,
+        )
+        if r.returncode != 0:
+            failed.append(f"{label} (rc={r.returncode})")
+            print(f"=== batch FAILED: {label}", flush=True)
+    dt = time.monotonic() - t0
+    if failed:
+        print(f"\nFAILED batches ({len(failed)}) after {dt:.0f}s:")
+        for f in failed:
+            print(f"  - {f}")
+        return 1
+    print(f"\nall {len(bs)} batches green in {dt:.0f}s")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
