@@ -36,7 +36,7 @@ def main():
     from scanerf_tpu.utils import metrics
 
     cfg = parse_yaml(cfg_path)
-    tile_dirs = sorted(glob.glob(os.path.join(logdir, "tile-*")))
+    tile_dirs = renderer.list_tile_dirs(logdir)  # numeric-id order
     if not tile_dirs:
         sys.exit(f"no exported tiles under {logdir}")
     scene = renderer.load_scene(tile_dirs)
@@ -66,12 +66,19 @@ def main():
     metric_path = os.path.join(out_dir, "metric.txt")
     for i in range(start, end):
         t0 = time.time()
+        # SCANERF_EARLY_TERM=1: slab-marched early ray termination
+        # (render/early_term.py — the reference's break-on-transparency,
+        # rendering.py:341-345). Single-device, windowed layouts only.
+        early = (os.environ.get("SCANERF_EARLY_TERM", "") == "1"
+                 and scene.hash_layout == "windowed")
         out = renderer.render_image(
             scene, ks[i], c2ws[i], H, W,
             num_sample=cfg.TRAINING.NUM_SAMPLE,
             num_bg_sample=cfg.TRAINING.NUM_BG_SAMPLE,
             invalid_underground=bool(cfg.INVALID_UNDERGROUND),
-            sharded=True,  # spreads rays over all local devices (no-op on 1)
+            early_term=early,
+            # sharded spreads rays over all local devices (no-op on 1)
+            sharded=not early,
         )
         times.append(time.time() - t0)
         img = (np.clip(out["rgb"], 0, 1) * 255).astype(np.uint8)
