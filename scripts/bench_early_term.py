@@ -116,6 +116,24 @@ def main():
         else:
             img_early = np.asarray(img)[:n]
 
+    # opacity diagnostic: early termination pays iff rays actually
+    # saturate below the reference's 1e-5 — a soft (under-trained)
+    # scene never triggers the break, in the reference or here
+    tl = []
+    for i in range(0, ntot, chunk):
+        o = renderer.render_rays(
+            scene, rays_o[i:i + chunk], rays_d[i:i + chunk],
+            backend="windowed", **kw)
+        tl.append(o["T_left"])
+    tl = np.asarray(jnp.concatenate(tl))[:n]
+    out["T_left"] = {
+        "frac_below_1e-5": round(float((tl < 1e-5).mean()), 4),
+        "frac_below_0.01": round(float((tl < 0.01).mean()), 4),
+        "frac_below_0.1": round(float((tl < 0.1).mean()), 4),
+        "median": round(float(np.median(tl)), 4),
+    }
+    print("T_left", json.dumps(out["T_left"]), flush=True)
+
     stats = {}
     _ = float(jnp.sum(run_early(stats)))
     fg_frac = stats["fg_rows"] / stats["full_fg_rows"]
