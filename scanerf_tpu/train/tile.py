@@ -62,17 +62,18 @@ class TrainConfig:
     smooth_start: int = 0
     alpha: float = 10.0
     gamma: float = 20.0
-    warp_top_k: int = 10
-    # resolution of the NO-GRAD neighbor visibility re-render inside the
-    # warp loss (warp_loss.py:355-377 re-renders B*K rays at the full
-    # training sample counts — at K=10 that is 10x the main render).
-    # The re-render only feeds the soft visibility/diffuseness gates
-    # (exp(-alpha*|dz|/voxel)), so a coarser march is PSNR-neutral while
-    # cutting the warp-step overhead (PERF.md round-4 warp A/B: 16/8/64
-    # is +10.7% full-recipe throughput with 600-step quality curves
-    # identical to 32/32/128 — PSNR within 0.002 dB, pose within
-    # 0.001 deg). Set equal to num_sample/num_bg_sample/num_march for
+    # The documented TPU recipe deviates from the reference on two
+    # warp-loss cost knobs, each validated by a full-weight (warm-up
+    # disabled, weight 1.0 from step 0) 1200-step A/B:
+    # - WARP_TOP_K 5 (reference: 10, warp_loss.py top-K neighbor
+    #   selection): PSNR identical to 0.004 dB, pose within noise, at
+    #   1.74x wall speed (PERF.md r4d);
+    # - vis gate re-render at 16/8/64 (reference re-renders at the full
+    #   training counts, warp_loss.py:355-377): PSNR identical to
+    #   0.002 dB at every eval (PERF.md r5a).
+    # Set WARP_TOP_K: 10 and WARP_VIS_* = the main sample counts for
     # exact reference parity.
+    warp_top_k: int = 5
     warp_vis_sample: int = 16
     warp_vis_bg_sample: int = 8
     warp_vis_march: int = 64
@@ -181,7 +182,7 @@ class TrainConfig:
             warp_vis_sample=L.get("WARP_VIS_SAMPLE", 16),
             warp_vis_bg_sample=L.get("WARP_VIS_BG_SAMPLE", 8),
             warp_vis_march=L.get("WARP_VIS_MARCH", 64),
-            warp_top_k=L.get("WARP_TOP_K", 10),
+            warp_top_k=L.get("WARP_TOP_K", 5),
         )
 
 
