@@ -2,10 +2,12 @@
 # Round-5b chip worklist: the scaled city run (VERDICT r5 task 2).
 #
 # Scaled toward the paper's operating point within this fabric's wall
-# budget: 8 tiles, 128x128 images (r4a: 64x64), 2^22 tables (r4a:
-# 2^19), 128+128 samples (r4a: 64+32), full recipe + ADMM + pruning
-# ladder + camera refinement, resumable (CKPT_STEP 500; re-run with
-# CITY_CKP=<logdir> after a fabric kill).
+# budget: 8 tiles, 128x128 images (r4a: 64x64), 2^21 tables (r4a:
+# 2^19 — 2^22 OOMs: the single-chip trainer stacks all 8 tiles'
+# params+moments = 12.9 GB at 2^22; the paper's per-tile-per-GPU
+# topology has no such sum), 128+128 samples (r4a: 64+32), full
+# recipe + ADMM + pruning ladder + camera refinement, resumable
+# (CKPT_STEP 500; re-run with CITY_CKP=<logdir> after a fabric kill).
 #
 # Uses the TPU recipe defaults settled by r5a's full-weight A/Bs
 # (warp-vis 16/8/64; WARP_TOP_K per bench_warp_vis/topk results —
@@ -25,7 +27,7 @@ run() {
   return $rc
 }
 export CITY_DIR=/root/repo/logs/cityscene_r5
-export CITY_OVERRIDES='{HASHGRID: {LOG2_HASHMAP_SIZE: 22}, TRAINING: {NUM_SAMPLE: 128, NUM_BG_SAMPLE: 128, NUM_MARCH: 512, BS_LOG2DIM: 14, GRID_LOG2DIM: [5, 6, 7], ADJUST_STEP: 600, LOSS: {WARP_TOP_K: 5}}}'
+export CITY_OVERRIDES='{HASHGRID: {LOG2_HASHMAP_SIZE: 21}, TRAINING: {NUM_SAMPLE: 128, NUM_BG_SAMPLE: 128, NUM_MARCH: 512, BS_LOG2DIM: 14, GRID_LOG2DIM: [5, 6, 7], ADJUST_STEP: 600, LOSS: {WARP_TOP_K: 5}}}'
 T=${CITY_T:-16200} run python scripts/city_run.py "$STEPS" 4 2 96 128
 # early-termination re-measure on the HARDER export (the r4a 64x64
 # scene never saturates below T=1e-5 — r5a measured bg_row_frac 1.0)
