@@ -27,7 +27,11 @@ run() {
   return $rc
 }
 export CITY_DIR=/root/repo/logs/cityscene_r5
-export CITY_OVERRIDES='{HASHGRID: {LOG2_HASHMAP_SIZE: 21}, TRAINING: {NUM_SAMPLE: 128, NUM_BG_SAMPLE: 128, NUM_MARCH: 512, BS_LOG2DIM: 14, GRID_LOG2DIM: [5, 6, 7], ADJUST_STEP: 600, LOSS: {WARP_TOP_K: 5}}}'
+# BS_LOG2DIM 13 (paper: 14): the 8-tile param stack + one tile's
+# full-recipe activations at batch 2^14 measured 17.27G vs 15.75G HBM
+# (chip_r5b2.log) — batch is the axis that halves activations without
+# touching the quality-relevant table/sample/image scales
+export CITY_OVERRIDES='{HASHGRID: {LOG2_HASHMAP_SIZE: 21}, TRAINING: {NUM_SAMPLE: 128, NUM_BG_SAMPLE: 128, NUM_MARCH: 512, BS_LOG2DIM: 13, GRID_LOG2DIM: [5, 6, 7], ADJUST_STEP: 600, LOSS: {WARP_TOP_K: 5}}}'
 T=${CITY_T:-16200} run python scripts/city_run.py "$STEPS" 4 2 96 128
 # early-termination re-measure on the HARDER export (the r4a 64x64
 # scene never saturates below T=1e-5 — r5a measured bg_row_frac 1.0)
