@@ -27,17 +27,17 @@ run() {
   return $rc
 }
 export CITY_DIR=/root/repo/logs/cityscene_r5
-# BS_LOG2DIM 13 (paper: 14): the 8-tile param stack + one tile's
-# full-recipe activations at batch 2^14 measured 17.27G vs 15.75G HBM
-# (chip_r5b2.log) — batch is the axis that halves activations without
-# touching the quality-relevant table/sample/image scales
-export CITY_OVERRIDES='{HASHGRID: {LOG2_HASHMAP_SIZE: 21}, TRAINING: {NUM_SAMPLE: 128, NUM_BG_SAMPLE: 128, NUM_MARCH: 512, BS_LOG2DIM: 13, GRID_LOG2DIM: [5, 6, 7], ADJUST_STEP: 600, LOSS: {WARP_TOP_K: 5}}}'
+# Table size 2^20 (r4a: 2^19): the single-chip trainer keeps all 8
+# tiles' params+moments resident AND this fabric's AOT path does not
+# exploit donation (params/grads/moments double during the update), so
+# 2^21 x 8 tiles OOM'd at runtime even at batch 2^13 (chip_r5b3.log);
+# 2^20 leaves room for the paper's full 2^14-ray batch instead.
+export CITY_OVERRIDES='{HASHGRID: {LOG2_HASHMAP_SIZE: 20}, TRAINING: {NUM_SAMPLE: 128, NUM_BG_SAMPLE: 128, NUM_MARCH: 512, BS_LOG2DIM: 14, GRID_LOG2DIM: [5, 6, 7], ADJUST_STEP: 600, LOSS: {WARP_TOP_K: 5}}}'
 T=${CITY_T:-16200} run python scripts/city_run.py "$STEPS" 4 2 96 128
 # early-termination re-measure on the HARDER export (the r4a 64x64
 # scene never saturates below T=1e-5 — r5a measured bg_row_frac 1.0)
 LD=$(ls -d /root/repo/logs/cityscene_r5/logs/*/ 2>/dev/null | tail -1)
 if [ -n "$LD" ]; then
-  T=3600 run python scripts/bench_early_term.py "$LD" 512 13 32
-  T=2400 run python scripts/bench_early_term.py "$LD" 512 13 64
+  T=3000 run python scripts/bench_early_term.py "$LD" 512 13 32
 fi
 echo "WORKLIST_R5B DONE $(date -u)" >> "$LOG"
