@@ -31,8 +31,9 @@ export CITY_DIR=/root/repo/logs/cityscene_r5
 # tiles' params+moments resident AND this fabric's AOT path does not
 # exploit donation (params/grads/moments double during the update), so
 # 2^21 x 8 tiles OOM'd at runtime even at batch 2^13 (chip_r5b3.log);
-# 2^20 leaves room for the paper's full 2^14-ray batch instead.
-export CITY_OVERRIDES='{HASHGRID: {LOG2_HASHMAP_SIZE: 20}, TRAINING: {NUM_SAMPLE: 128, NUM_BG_SAMPLE: 128, NUM_MARCH: 512, BS_LOG2DIM: 14, GRID_LOG2DIM: [5, 6, 7], ADJUST_STEP: 600, LOSS: {WARP_TOP_K: 5}}}'
+# 2^20 + batch 2^13 is the measured fit (2^20 @ 2^14 still OOMs at
+# runtime: the un-donated param stack costs ~3.5x itself).
+export CITY_OVERRIDES='{HASHGRID: {LOG2_HASHMAP_SIZE: 20}, TRAINING: {NUM_SAMPLE: 128, NUM_BG_SAMPLE: 128, NUM_MARCH: 512, BS_LOG2DIM: 13, GRID_LOG2DIM: [5, 6, 7], ADJUST_STEP: 600, LOSS: {WARP_TOP_K: 5}}}'
 T=${CITY_T:-16200} run python scripts/city_run.py "$STEPS" 4 2 96 128
 # early-termination re-measure on the HARDER export (the r4a 64x64
 # scene never saturates below T=1e-5 — r5a measured bg_row_frac 1.0)
