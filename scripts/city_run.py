@@ -42,7 +42,13 @@ def main():
         "DATADIR": scene_dir,
         "TILES": list(range(n_tiles)),
         "RHO": 100.0,
-        "SYN_ITERS": 50,
+        # ADMM consensus period. The round IS one device dispatch
+        # (SYN_ITERS steps x all tiles sequentially on one chip) and
+        # this fabric's transport kills dispatches >1-2 min (PERF.md):
+        # at the r5 workload 50x8x~0.3s = 120s crashed the worker
+        # (chip_r5b6.log) — 16 keeps the dispatch under ~40s. More
+        # frequent consensus only tightens ADMM coupling.
+        "SYN_ITERS": 16,
         "MAX_POSES": 60,
         "EVAL_STEP": max(steps // 4, 200),
         # survive fabric job kills: save every 500 steps, resume from a
