@@ -42,7 +42,17 @@ def main():
     chunk = 2 ** (int(sys.argv[3]) if len(sys.argv) > 3 else 13)
     slab = int(sys.argv[4]) if len(sys.argv) > 4 else 32
     view = int(sys.argv[5]) if len(sys.argv) > 5 else 0
+    # Opacity-sharpening probe (argv[6], default 1 = off): scale the
+    # sigma head's pre-activation by k. softplus(k*x) sharpens the
+    # learned surface monotonically (denser where dense, emptier where
+    # empty) WITHOUT retraining, giving a controlled sweep of the
+    # saturation fraction — the go/no-go variable for early
+    # termination (reference rendering.py:341-345 only pays off when
+    # rays actually cross T<1e-5). Measures the mechanism's value
+    # curve: speedup as a function of frac(T_left < 1e-5).
+    sharp = float(sys.argv[6]) if len(sys.argv) > 6 else 1.0
 
+    import jax
     import jax.numpy as jnp
 
     from scanerf_tpu.data import io as data_io
@@ -51,6 +61,11 @@ def main():
     from scanerf_tpu.utils import lie, rays as rays_mod
 
     scene = renderer.load_scene(renderer.list_tile_dirs(logdir))
+    if sharp != 1.0:
+        dec = dict(scene.decoders)
+        dec["sigma"] = jax.tree_util.tree_map(
+            lambda x: x * sharp, dec["sigma"])
+        scene = scene.replace(decoders=dec)
     ks, c2ws, H0, W0 = data_io.read_campara(
         os.path.join(logdir, "refined_camera.log"), return_shape=True)
     s = res / H0
@@ -90,7 +105,8 @@ def main():
             outs.append(out["rgb"])
         return jnp.concatenate(outs)
 
-    out = {"res": [W, H], "chunk": chunk, "slab": slab, "view": view}
+    out = {"res": [W, H], "chunk": chunk, "slab": slab, "view": view,
+           "sigma_sharp": sharp}
     for name, fn in (("oneshot", run_std), ("early", run_early)):
         t0 = time.perf_counter()
         img = fn()
